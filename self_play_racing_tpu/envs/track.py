@@ -1,0 +1,229 @@
+"""Procedural track generation (host-side NumPy) and padded device track pools.
+
+Host side reproduces the reference generator's *exact* global-NumPy-RNG stream
+(track.py:4-56 — including the quirk that ``gen_random_track`` reseeds the global RNG
+with the same seed inside every call while per-track params are drawn between reseeds;
+SURVEY.md quirk #6), builds the spline waypoints / normals / boundary segments in
+float64, then stacks everything into fixed-size, padding-safe device tensors laid out
+structure-of-arrays for the TPU raycast kernels.
+
+Reference geometry pipeline being reproduced:
+ - periodic cubic spline through control points -> num_points*30 waypoints
+   (track.py:100-115)
+ - per-waypoint tangents/normals (track.py:117-124)
+ - left/right boundaries at +-track_width along normals (track.py:93-94)
+ - closed boundary segments, stacked left+right (track.py:126-148)
+ - bounds + max_track_distance diagonal (track.py:82-91)
+ - start position/heading from waypoints 0/1 (track.py:154-157)
+
+Padding contract (consumed by ops.geometry):
+ - waypoints padded at PAD_XY (1e8, 1e8): can never win a nearest-waypoint argmin.
+ - segments padded with zero direction vectors: filtered as parallel by the raycast.
+"""
+from __future__ import annotations
+
+import numpy as np
+from flax import struct
+from scipy.interpolate import CubicSpline
+
+import jax.numpy as jnp
+
+PAD_XY = 1.0e8
+WAYPOINT_FACTOR = 30  # waypoints per control point (track.py:100)
+
+# Default control polygon + width used when no pool is given (track.py:69-80).
+DEFAULT_CONTROL_POINTS = np.array(
+    [
+        [0, 0], [50, 0], [70, 20], [60, 40],
+        [70, 50], [50, 70], [20, 70], [10, 50],
+        [10, 20], [0, 10],
+    ],
+    dtype=np.float64,
+)
+DEFAULT_TRACK_WIDTH = 6.0
+
+
+def gen_random_track(num_points=15, base_radius=50, radius_variation=15,
+                     angle_jitter=0.2, smoothness=0.5, seed=None):
+    """Control points on a jittered circle with smoothed radius variation.
+
+    Draw-for-draw identical to the reference (track.py:4-45): one uniform array for
+    angle offsets, then one scalar uniform per point for the radius variation, all on
+    the *global* NumPy RNG (reseeded here when ``seed`` is given — reference quirk).
+    """
+    if seed is not None:
+        np.random.seed(seed)
+
+    angles = np.linspace(0.0, 2 * np.pi, num_points, endpoint=False)
+    if angle_jitter > 0:
+        spacing = 2 * np.pi / num_points
+        half = angle_jitter * spacing / 2
+        angles = np.sort((angles + np.random.uniform(-half, half, num_points)) % (2 * np.pi))
+
+    variations = np.array([np.random.uniform(-radius_variation, radius_variation)
+                           for _ in range(num_points)])
+    radii = np.empty(num_points)
+    if smoothness > 0:
+        radii[0] = base_radius + variations[0]
+        for i in range(1, num_points):
+            radii[i] = (1 - smoothness) * (base_radius + variations[i]) + smoothness * radii[i - 1]
+        radii[0] = (radii[0] + radii[-1]) / 2  # close the loop (track.py:36-37)
+    else:
+        radii = base_radius + variations
+
+    return np.column_stack([radii * np.cos(angles), radii * np.sin(angles)])
+
+
+def gen_tracks(num_tracks=10, seed=None):
+    """Per-track parameter draws + generation, same RNG stream as track.py:47-56."""
+    out = []
+    for _ in range(num_tracks):
+        num_points = np.random.randint(10, 15)
+        base_radius = np.random.randint(50, 80)
+        radius_variation = np.random.randint(10, base_radius // 2 - 10)
+        angle_jitter = np.random.uniform(0.2, 0.7)
+        smoothness = np.random.uniform(0.2, 0.7)
+        out.append(gen_random_track(num_points, base_radius, radius_variation,
+                                    angle_jitter, smoothness, seed))
+    return out
+
+
+def build_track_geometry(control_points, track_width):
+    """Full float64 geometry for one track: waypoints, normals, boundary segments,
+    bounds, start pose. Returns a plain dict of NumPy arrays/scalars."""
+    cp = np.asarray(control_points, dtype=np.float64)
+    closed = np.vstack([cp, cp[:1]])
+    t = np.concatenate(([0.0], np.cumsum(np.sqrt(np.sum(np.diff(closed, axis=0) ** 2, axis=1)))))
+    spline_x = CubicSpline(t, closed[:, 0], bc_type="periodic")
+    spline_y = CubicSpline(t, closed[:, 1], bc_type="periodic")
+
+    n_wp = len(cp) * WAYPOINT_FACTOR
+    ts = np.linspace(0.0, t[-1], n_wp, endpoint=False)
+    wp = np.column_stack((spline_x(ts), spline_y(ts)))
+
+    tangents = np.diff(wp, axis=0, append=wp[:1])
+    lengths = np.linalg.norm(tangents, axis=1, keepdims=True)
+    tangents = tangents / np.where(lengths == 0, 1.0, lengths)
+    normals = np.column_stack((-tangents[:, 1], tangents[:, 0]))
+
+    left = wp + normals * track_width
+    right = wp - normals * track_width
+    seg_start = np.vstack([left, right])
+    seg_end = np.vstack([np.roll(left, -1, axis=0), np.roll(right, -1, axis=0)])
+
+    span_x = wp[:, 0].max() - wp[:, 0].min()
+    span_y = wp[:, 1].max() - wp[:, 1].min()
+
+    return {
+        "waypoints": wp,
+        "normals": normals,
+        "seg_start": seg_start,
+        "seg_vec": seg_end - seg_start,
+        "n_wp": n_wp,
+        "track_width": float(track_width),
+        "max_track_distance": float(np.sqrt(span_x**2 + span_y**2)),
+        "start_x": float(wp[0, 0]),
+        "start_y": float(wp[0, 1]),
+        "start_angle": float(np.arctan2(wp[1, 1] - wp[0, 1], wp[1, 0] - wp[0, 0])),
+        "start_nx": float(normals[0, 0]),
+        "start_ny": float(normals[0, 1]),
+    }
+
+
+@struct.dataclass
+class TrackArrays:
+    """Stacked, padded track geometry on device (SoA layout).
+
+    Leading axis is the pool (or env) axis. ``wp_*``/``nrm_*`` have shape [K, W];
+    ``seg_*`` have shape [K, S] with S = 2*W (left then right boundary, matching the
+    reference's segment-cache stacking order, track.py:141-142).
+    """
+
+    wp_x: jnp.ndarray
+    wp_y: jnp.ndarray
+    nrm_x: jnp.ndarray
+    nrm_y: jnp.ndarray
+    seg_sx: jnp.ndarray
+    seg_sy: jnp.ndarray
+    seg_vx: jnp.ndarray
+    seg_vy: jnp.ndarray
+    n_wp: jnp.ndarray          # int32 [K] true waypoint counts
+    track_width: jnp.ndarray   # [K]
+    max_track_distance: jnp.ndarray  # [K]
+    start_x: jnp.ndarray
+    start_y: jnp.ndarray
+    start_angle: jnp.ndarray
+    start_nx: jnp.ndarray
+    start_ny: jnp.ndarray
+
+    @property
+    def num_tracks(self):
+        return self.wp_x.shape[0]
+
+    @property
+    def pad_waypoints(self):
+        return self.wp_x.shape[-1]
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+def make_track_pool(control_points_list, track_widths, dtype=jnp.float32, pad_multiple=128):
+    """Build a stacked padded TrackArrays pool from per-track control points + widths.
+
+    ``track_widths`` may be a scalar (shared) or a per-track sequence. Waypoint padding
+    is rounded up to ``pad_multiple`` (TPU lane alignment); segment padding is 2x that.
+    """
+    k = len(control_points_list)
+    if np.isscalar(track_widths):
+        track_widths = [track_widths] * k
+    geoms = [build_track_geometry(cp, w) for cp, w in zip(control_points_list, track_widths)]
+
+    w_pad = _round_up(max(g["n_wp"] for g in geoms), pad_multiple)
+    s_pad = 2 * w_pad
+
+    def pad_wp(arr, fill):
+        out = np.full((w_pad,), fill, dtype=np.float64)
+        out[: len(arr)] = arr
+        return out
+
+    def pad_seg(arr):
+        out = np.zeros((s_pad,), dtype=np.float64)
+        out[: len(arr)] = arr
+        return out
+
+    fields = {
+        "wp_x": np.stack([pad_wp(g["waypoints"][:, 0], PAD_XY) for g in geoms]),
+        "wp_y": np.stack([pad_wp(g["waypoints"][:, 1], PAD_XY) for g in geoms]),
+        "nrm_x": np.stack([pad_wp(g["normals"][:, 0], 0.0) for g in geoms]),
+        "nrm_y": np.stack([pad_wp(g["normals"][:, 1], 0.0) for g in geoms]),
+        "seg_sx": np.stack([pad_seg(g["seg_start"][:, 0]) for g in geoms]),
+        "seg_sy": np.stack([pad_seg(g["seg_start"][:, 1]) for g in geoms]),
+        "seg_vx": np.stack([pad_seg(g["seg_vec"][:, 0]) for g in geoms]),
+        "seg_vy": np.stack([pad_seg(g["seg_vec"][:, 1]) for g in geoms]),
+        "track_width": np.array([g["track_width"] for g in geoms]),
+        "max_track_distance": np.array([g["max_track_distance"] for g in geoms]),
+        "start_x": np.array([g["start_x"] for g in geoms]),
+        "start_y": np.array([g["start_y"] for g in geoms]),
+        "start_angle": np.array([g["start_angle"] for g in geoms]),
+        "start_nx": np.array([g["start_nx"] for g in geoms]),
+        "start_ny": np.array([g["start_ny"] for g in geoms]),
+    }
+    return TrackArrays(
+        n_wp=jnp.asarray([g["n_wp"] for g in geoms], dtype=jnp.int32),
+        **{name: jnp.asarray(v, dtype=dtype) for name, v in fields.items()},
+    )
+
+
+def default_track_pool(dtype=jnp.float32):
+    """Single-track pool with the reference's fallback control polygon + width 6.0."""
+    return make_track_pool([DEFAULT_CONTROL_POINTS], DEFAULT_TRACK_WIDTH, dtype=dtype)
+
+
+def gather_tracks(pool: TrackArrays, track_ids) -> TrackArrays:
+    """Per-env track data: gather pool rows by env->track assignment (one-time,
+    outside the rollout scan, so the hot loop reads contiguous per-env geometry)."""
+    ids = jnp.asarray(track_ids, dtype=jnp.int32)
+    import jax
+    return jax.tree.map(lambda a: jnp.take(a, ids, axis=0), pool)

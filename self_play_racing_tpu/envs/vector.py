@@ -1,0 +1,109 @@
+"""Lockstep vectorization with Gymnasium-1.x-style NEXT_STEP autoreset.
+
+This replaces the reference's ``gym.vector.SyncVectorEnv`` (a serial Python loop over
+16 envs per step, ppo.py:70) with a single fused program over the whole env batch.
+
+Autoreset semantics (documented divergence knob, SURVEY.md §7 "hard parts"):
+ - ``next_step`` (default, Gymnasium 1.x parity): after an env reports
+   terminated|truncated, its *next* step ignores the action and returns the reset
+   observation with reward 0 and done False — exactly the transition SyncVectorEnv
+   inserts into rollouts (and therefore into GAE inputs).
+ - callers that want same-step resets can simply reset the merged state themselves.
+
+Episode statistics (RecordEpisodeStatistics equivalent, ppo.py:88):
+ - per-env running return/length accumulators live in the vector state; the reset
+   transition is not counted (the wrapper's counters reset on env.reset, so the
+   autoreset step contributes neither reward nor length).
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class EpisodeStats:
+    """Per-env running episode accumulators + per-step 'finished episode' outputs."""
+
+    ep_return: jnp.ndarray   # [N] running sum of rewards this episode
+    ep_length: jnp.ndarray   # [N] int32 steps this episode
+
+
+@struct.dataclass
+class VecState:
+    """Vectorized env state + autoreset bookkeeping."""
+
+    env: object                 # underlying batched env state pytree
+    pending_reset: jnp.ndarray  # [N] bool: env must reset on next step call
+    stats: EpisodeStats
+    key: jnp.ndarray            # PRNG key consumed by envs with random resets
+
+
+def init(env_state, num_envs: int, key, dtype=jnp.float32) -> VecState:
+    return VecState(
+        env=env_state,
+        pending_reset=jnp.zeros((num_envs,), bool),
+        stats=EpisodeStats(
+            ep_return=jnp.zeros((num_envs,), dtype),
+            ep_length=jnp.zeros((num_envs,), jnp.int32),
+        ),
+        key=key,
+    )
+
+
+def step(
+    vstate: VecState,
+    action,
+    transition_fn: Callable,
+    observe_fn: Callable,
+    reset_fn: Callable,
+):
+    """One lockstep vector step with NEXT_STEP autoreset.
+
+    transition_fn(state, action) -> (new_state, reward, terminated, truncated, info)
+    observe_fn(state) -> obs
+    reset_fn(key) -> fresh state (batched; key is per-call, envs split internally)
+
+    Returns (new_vstate, obs, reward, done, episode_record) where episode_record is a
+    dict with ``return``/``length``/``mask`` for episodes that finished this step
+    (mask False rows are padding, mirroring the ``_episode`` mask at ppo.py:124).
+    """
+    do_reset = vstate.pending_reset
+    key, reset_key = jax.random.split(vstate.key)
+
+    stepped, reward, terminated, truncated, info = transition_fn(vstate.env, action)
+    fresh = reset_fn(reset_key)
+    merged = jax.tree.map(
+        lambda f, s: jnp.where(
+            jnp.reshape(do_reset, do_reset.shape + (1,) * (s.ndim - do_reset.ndim)), f, s
+        ),
+        fresh,
+        stepped,
+    )
+    obs = observe_fn(merged)
+
+    reward = jnp.where(do_reset, 0.0, reward).astype(reward.dtype)
+    terminated = jnp.where(do_reset, False, terminated)
+    truncated = jnp.where(do_reset, False, truncated)
+    done = terminated | truncated
+
+    # episode statistics: accumulate, emit at done, clear; reset step contributes 0
+    stats = vstate.stats
+    ep_return = stats.ep_return + reward.astype(stats.ep_return.dtype)
+    ep_length = stats.ep_length + jnp.where(do_reset, 0, 1).astype(jnp.int32)
+    record = {"return": ep_return, "length": ep_length, "mask": done}
+    new_stats = EpisodeStats(
+        ep_return=jnp.where(done, 0.0, ep_return).astype(ep_return.dtype),
+        ep_length=jnp.where(done, 0, ep_length),
+    )
+
+    new_vstate = VecState(
+        env=merged,
+        pending_reset=jnp.where(do_reset, False, done),
+        stats=new_stats,
+        key=key,
+    )
+    return new_vstate, obs, reward, done, terminated, truncated, info, record

@@ -1,0 +1,177 @@
+"""Batched 2-D geometry kernels for the racing engine.
+
+Everything here is written structure-of-arrays (separate x/y component tensors) so the
+hot reductions become ``[batch, segments]`` / ``[batch, rays, segments]`` elementwise +
+min/argmin ops — clean VPU shapes on TPU (lane dim = segments, not a length-2 xy axis).
+
+Semantics reproduce the reference geometry exactly (cited per function):
+ - wall raycast               -> /root/reference/environment/track.py:173-199
+ - nearest waypoint / progress-> /root/reference/environment/track.py:150-161
+ - centerline wall collision  -> /root/reference/environment/track.py:163-171
+ - oriented car corners       -> /root/reference/environment/car.py:26-43
+ - SAT rectangle intersection -> /root/reference/environment/multi_car.py:16-43
+ - ray vs car edges           -> /root/reference/environment/multi_track.py:5-44
+
+All functions broadcast over arbitrary leading batch dims.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# Matches the parallel-segment epsilon in track.py:182 / multi_track.py:35.
+_PARALLEL_EPS = 1e-10
+
+
+def raycast_walls(ox, oy, dx, dy, seg_sx, seg_sy, seg_vx, seg_vy, max_dist):
+    """Min hit distance of rays against boundary segments.
+
+    ox, oy, dx, dy: ray origins/directions, shape ``B`` (any batch shape).
+    seg_*: segment start points and direction vectors, shape ``B + (S,)``
+      (padding segments must have zero direction vectors -> filtered as parallel).
+    Returns shape ``B``: min t over valid hits, else ``max_dist``.
+
+    NOTE (parity): like track.py:199, the returned hit distance is *not* clamped to
+    ``max_dist`` — a hit farther than max_dist is still returned as-is. Only the no-hit
+    case returns max_dist.
+    """
+    v1x = ox[..., None] - seg_sx
+    v1y = oy[..., None] - seg_sy
+    # v3 = perpendicular of ray dir: (-dy, dx)  (track.py:178)
+    v3x = -dy[..., None]
+    v3y = dx[..., None]
+    dotp = seg_vx * v3x + seg_vy * v3y
+    valid = jnp.abs(dotp) > _PARALLEL_EPS
+    safe = jnp.where(valid, dotp, 1.0)
+    # t = cross(v2, v1) / dotp ; s = dot(v1, v3) / dotp  (track.py:187-193)
+    t = (seg_vx * v1y - seg_vy * v1x) / safe
+    s = (v1x * v3x + v1y * v3y) / safe
+    hit = valid & (t >= 0.0) & (s >= 0.0) & (s <= 1.0)
+    tmin = jnp.min(jnp.where(hit, t, jnp.inf), axis=-1)
+    return jnp.where(jnp.isinf(tmin), jnp.asarray(max_dist, tmin.dtype), tmin)
+
+
+def nearest_waypoint(px, py, wp_x, wp_y):
+    """Index of the nearest waypoint (first occurrence on ties, as np.argmin).
+
+    px, py: query points, shape ``B``. wp_x, wp_y: waypoints, shape ``B + (W,)``
+    (padding waypoints must sit at huge coordinates so they never win the argmin).
+    Reference: track.py:150-152.
+    """
+    d2 = (wp_x - px[..., None]) ** 2 + (wp_y - py[..., None]) ** 2
+    return jnp.argmin(d2, axis=-1)
+
+
+def track_progress(px, py, wp_x, wp_y, n_wp):
+    """Fraction of track completed = nearest waypoint index / num waypoints.
+
+    Reference: track.py:159-161. ``n_wp`` is the *true* (unpadded) waypoint count.
+    """
+    idx = nearest_waypoint(px, py, wp_x, wp_y)
+    return idx.astype(wp_x.dtype) / jnp.asarray(n_wp, wp_x.dtype)
+
+
+def car_corners(x, y, angle, half_length, half_width):
+    """Oriented-rectangle corners of a car. Returns (cx, cy), shape ``B + (4,)``.
+
+    Corner order matches car.py:31-36: FL(+,+w), FR(+,-w), RR(-,-w), RL(-,+w)
+    (front-left first with +half_width, i.e. [(hl,hw),(hl,-hw),(-hl,-hw),(-hl,hw)]).
+    """
+    ca = jnp.cos(angle)
+    sa = jnp.sin(angle)
+    lx = jnp.stack(
+        [jnp.full_like(x, half_length)] * 2 + [jnp.full_like(x, -half_length)] * 2,
+        axis=-1,
+    )
+    ly = jnp.stack(
+        [
+            jnp.full_like(x, half_width),
+            jnp.full_like(x, -half_width),
+            jnp.full_like(x, -half_width),
+            jnp.full_like(x, half_width),
+        ],
+        axis=-1,
+    )
+    cx = x[..., None] + ca[..., None] * lx - sa[..., None] * ly
+    cy = y[..., None] + sa[..., None] * lx + ca[..., None] * ly
+    return cx, cy
+
+
+def centerline_collision(cx, cy, wp_x, wp_y, nrm_x, nrm_y, track_width):
+    """Wall 'collision' test: any corner farther than track_width from the centerline,
+    measured along its nearest waypoint's normal. Reference: track.py:163-171
+    (distance-from-centerline, *not* segment intersection — cars may cut pinched
+    sections exactly as the reference allows; SURVEY.md quirk #8).
+
+    cx, cy: corners, shape ``B + (C,)``. wp/nrm: shape ``B + (W,)``.
+    track_width: shape ``B`` or scalar. Returns bool, shape ``B``.
+    """
+    idx = nearest_waypoint(cx, cy, wp_x[..., None, :], wp_y[..., None, :])  # B+(C,)
+    nwx = jnp.take_along_axis(wp_x, idx, axis=-1)
+    nwy = jnp.take_along_axis(wp_y, idx, axis=-1)
+    nnx = jnp.take_along_axis(nrm_x, idx, axis=-1)
+    nny = jnp.take_along_axis(nrm_y, idx, axis=-1)
+    dist = jnp.abs((cx - nwx) * nnx + (cy - nwy) * nny)
+    tw = jnp.asarray(track_width)
+    return jnp.any(dist > tw[..., None], axis=-1)
+
+
+def rectangles_intersect(ax, ay, bx, by):
+    """SAT intersection test for two oriented rectangles given their corners.
+
+    ax, ay, bx, by: shape ``B + (4,)``. Returns bool ``B``.
+    Uses the 2 unique edge normals of each rectangle (4 axes total), exactly as
+    multi_car.py:16-43: gap on any axis (strict ``<`` comparisons) -> no intersection.
+    """
+
+    def edge_normals(cx, cy):
+        # edges 0->1 and 1->2; normal = (-ey, ex)  (multi_car.py:19-22)
+        ex = cx[..., 1:3] - cx[..., 0:2]
+        ey = cy[..., 1:3] - cy[..., 0:2]
+        return -ey, ex
+
+    nax, nay = edge_normals(ax, ay)
+    nbx, nby = edge_normals(bx, by)
+    axx = jnp.concatenate([nax, nbx], axis=-1)  # B + (4,)
+    axy = jnp.concatenate([nay, nby], axis=-1)
+
+    # project all 4 corners of each rect on all 4 axes: B + (4 axes, 4 corners)
+    pa = axx[..., :, None] * ax[..., None, :] + axy[..., :, None] * ay[..., None, :]
+    pb = axx[..., :, None] * bx[..., None, :] + axy[..., :, None] * by[..., None, :]
+    gap = (jnp.max(pa, -1) < jnp.min(pb, -1)) | (jnp.max(pb, -1) < jnp.min(pa, -1))
+    return ~jnp.any(gap, axis=-1)
+
+
+def raycast_cars(ox, oy, dx, dy, car_cx, car_cy, car_x, car_y, max_dist):
+    """Min hit distance of rays against the edge segments of a set of cars.
+
+    ox, oy, dx, dy: ray origin/dir, shape ``B``.
+    car_cx, car_cy: car corners, shape ``B + (A, 4)`` (A cars visible to each ray).
+    car_x, car_y: car centers, shape ``B + (A,)`` — any car whose center lies within
+    0.5 of the ray origin is skipped entirely (the reference's self-exclusion test,
+    multi_track.py:12-14, which also skips *opponents* that close).
+
+    Returns shape ``B``: min over car-edge hits and ``max_dist`` (the car component is
+    clamped to max_dist by construction, multi_track.py:8,24).
+    """
+    # skip mask per car (norm < 0.5 of center-origin distance)
+    cdist = jnp.sqrt((car_x - ox[..., None]) ** 2 + (car_y - oy[..., None]) ** 2)
+    skip = cdist < 0.5  # B + (A,)
+
+    # car edges: start = corner i, vec = corner (i+1)%4 - corner i
+    sx = car_cx
+    sy = car_cy
+    vx = jnp.roll(car_cx, -1, axis=-1) - car_cx
+    vy = jnp.roll(car_cy, -1, axis=-1) - car_cy
+
+    v1x = ox[..., None, None] - sx
+    v1y = oy[..., None, None] - sy
+    v3x = -dy[..., None, None]
+    v3y = dx[..., None, None]
+    dotp = vx * v3x + vy * v3y
+    valid = (jnp.abs(dotp) >= _PARALLEL_EPS) & ~skip[..., None]
+    safe = jnp.where(valid, dotp, 1.0)
+    t = (vx * v1y - vy * v1x) / safe
+    s = (v1x * v3x + v1y * v3y) / safe
+    hit = valid & (t >= 0.0) & (s >= 0.0) & (s <= 1.0)
+    tmin = jnp.min(jnp.where(hit, t, jnp.inf), axis=(-1, -2))
+    return jnp.minimum(jnp.asarray(max_dist, tmin.dtype), jnp.where(jnp.isinf(tmin), max_dist, tmin))
