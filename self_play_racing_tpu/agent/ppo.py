@@ -1,0 +1,307 @@
+"""From-scratch PPO, compiled to a single fused XLA program per update.
+
+Reproduces the reference trainer's semantics (/root/reference/agent/ppo.py:65-293) with
+a TPU-native structure: the entire update — 2048-step rollout (lax.scan over time, env
+batch vectorized and shardable over a device mesh), GAE (reverse scan), and the
+10-epoch/16-minibatch clipped update with KL early stopping — is one jitted function.
+The reference's per-step GPU<->CPU round trip (ppo.py:114) and serial SyncVectorEnv
+loop disappear entirely; env state lives on device for the whole run.
+
+Semantics preserved exactly (SURVEY §7 quirks):
+ - approx_kl = mean(old_logprob - new_logprob) (sign-flipped estimator, ppo.py:179)
+   and triggering it aborts *all* remaining minibatches and epochs of the update,
+   including the triggering minibatch's own gradient step (ppo.py:178-182) —
+   implemented as a masked scan carry, preserving data-dependent early exit inside jit.
+ - per-minibatch advantage normalization with torch's *unbiased* std (ppo.py:186-187).
+ - clipped value loss 0.5*max(unclipped, clipped) (ppo.py:194-198).
+ - entropy bonus is a constant w.r.t. params (log_std is an annealed buffer).
+ - lr anneal frac*lr -> 0 and log_std anneal start->end by update index
+   (ppo.py:245-253); grad-norm clip before Adam (ppo.py:208), Adam eps 1e-5 (ppo.py:83).
+ - episode statistics harvested exactly like RecordEpisodeStatistics + the _episode
+   mask (ppo.py:88,123-130).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..configs import PPOConfig
+from ..envs import vector
+from ..models import actor_critic as net
+from ..ops.gae import compute_gae
+
+
+class EnvHooks(NamedTuple):
+    """Functional env interface consumed by the trainer.
+
+    aux is an arbitrary pytree of env data (track geometry, opponent params, ...)
+    passed through the jit boundary as a runtime argument — never closed over, so
+    megabytes of geometry don't get baked into the executable as constants.
+    """
+
+    reset: Callable      # (aux, key) -> env_state  (batched)
+    transition: Callable  # (aux, env_state, action, key) -> (state, rew, term, trunc, info)
+    observe: Callable    # (aux, env_state) -> obs [N, obs_dim] float32
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    update: jnp.ndarray       # i32 scalar: update index (drives anneals)
+    global_step: jnp.ndarray  # i32 scalar
+
+
+@struct.dataclass
+class RunnerState:
+    train: TrainState
+    vec: vector.VecState
+    obs: jnp.ndarray    # [N, obs_dim] float32 — next_obs in reference terms
+    done: jnp.ndarray   # [N] bool — next_done
+    key: jnp.ndarray
+
+
+def make_optimizer(cfg: PPOConfig):
+    """clip-by-global-norm -> Adam(eps=1e-5); LR is applied manually (traced scalar)
+    so the reference's per-update anneal stays inside jit."""
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.scale_by_adam(eps=1e-5),
+    )
+
+
+def init_train_state(key, cfg: PPOConfig, obs_dim: int, action_dim: int) -> TrainState:
+    params = net.init_params(key, obs_dim, action_dim)
+    opt_state = make_optimizer(cfg).init(params)
+    return TrainState(
+        params=params,
+        opt_state=opt_state,
+        update=jnp.zeros((), jnp.int32),
+        global_step=jnp.zeros((), jnp.int32),
+    )
+
+
+def init_runner(key, cfg: PPOConfig, hooks: EnvHooks, aux, obs_dim: int,
+                action_dim: int) -> RunnerState:
+    k_net, k_env, k_run = jax.random.split(key, 3)
+    train = init_train_state(k_net, cfg, obs_dim, action_dim)
+    env_state = hooks.reset(aux, k_env)
+    vec_state = vector.init(env_state, cfg.num_envs, k_run)
+    obs = hooks.observe(aux, env_state)
+    return RunnerState(
+        train=train,
+        vec=vec_state,
+        obs=obs.astype(jnp.float32),
+        done=jnp.zeros((cfg.num_envs,), bool),
+        key=key,
+    )
+
+
+def anneal_fractions(cfg: PPOConfig, update, action_dim: int = 2):
+    """frac = max(0, 1 - update/NUM_UPDATES); lr and log_std follow (ppo.py:245-253).
+
+    log_std is broadcast to [action_dim], matching the reference's per-dim buffer
+    (ppo.py:28) — the summed entropy therefore counts every action dimension.
+    """
+    frac = jnp.maximum(0.0, 1.0 - update.astype(jnp.float32) / cfg.num_updates)
+    lr = frac * cfg.learning_rate
+    log_std = frac * cfg.log_std_start + (1.0 - frac) * cfg.log_std_end
+    return frac, lr, jnp.full((action_dim,), log_std, jnp.float32)
+
+
+class Batch(NamedTuple):
+    obs: jnp.ndarray
+    actions: jnp.ndarray
+    logprobs: jnp.ndarray
+    advantages: jnp.ndarray
+    returns: jnp.ndarray
+    values: jnp.ndarray
+
+
+def _ppo_loss(params, log_std, mb: Batch, cfg: PPOConfig):
+    new_lp, entropy, new_v = net.evaluate_action(params, log_std, mb.obs, mb.actions)
+    log_ratio = new_lp - mb.logprobs
+    ratio = jnp.exp(log_ratio)
+    approx_kl = jnp.mean(-log_ratio)  # mean(old - new), sign per ppo.py:179
+
+    adv = mb.advantages
+    adv = (adv - adv.mean()) / (adv.std(ddof=1) + 1e-8)  # unbiased std (torch default)
+
+    pg1 = -adv * ratio
+    pg2 = -adv * jnp.clip(ratio, 1.0 - cfg.clip_coef, 1.0 + cfg.clip_coef)
+    pg_loss = jnp.maximum(pg1, pg2).mean()
+
+    v_clip = mb.values + jnp.clip(new_v - mb.values, -cfg.clip_coef, cfg.clip_coef)
+    v_loss = 0.5 * jnp.maximum(
+        (new_v - mb.returns) ** 2, (v_clip - mb.returns) ** 2
+    ).mean()
+
+    e_loss = -entropy.mean()
+    loss = pg_loss + cfg.ent_coef * e_loss + cfg.vf_coef * v_loss
+    stats = {
+        "loss": loss, "pg_loss": pg_loss, "v_loss": v_loss,
+        "entropy": -e_loss, "approx_kl": approx_kl,
+        "clip_frac": jnp.mean((jnp.abs(ratio - 1.0) > cfg.clip_coef).astype(jnp.float32)),
+    }
+    return loss, stats
+
+
+def run_ppo_update(cfg: PPOConfig, opt, params, opt_state, log_std, lr,
+                   flat: Batch, key):
+    """Epochs x minibatches of clipped updates with KL early stop (ppo.py:156-209).
+
+    ``flat`` is the flattened [batch_size, ...] rollout. Once approx_kl exceeds the
+    target, the triggering minibatch and everything after it are masked no-ops —
+    the whole remaining update is aborted, exactly like the reference's ``return``.
+    """
+    b = cfg.batch_size
+
+    def epoch_body(carry, ekey):
+        params, opt_state, stop = carry
+        perm = jax.random.permutation(ekey, b)
+        mb_idx = perm.reshape(cfg.num_minibatches, cfg.minibatch_size)
+
+        def mb_body(carry, idx):
+            params, opt_state, stop = carry
+            mb = Batch(*(x[idx] for x in flat))
+            (loss, stats), grads = jax.value_and_grad(_ppo_loss, has_aux=True)(
+                params, log_std, mb, cfg
+            )
+            # KL early-stop: the triggering minibatch is itself not applied
+            # (ppo.py:178-182), and nothing after it is.
+            stop = stop | (stats["approx_kl"] > cfg.kl_target)
+            updates, new_opt_state = opt.update(grads, opt_state, params)
+            updates = jax.tree.map(lambda u: -lr * u, updates)
+            new_params = optax.apply_updates(params, updates)
+            params = jax.tree.map(lambda o, n: jnp.where(stop, o, n), params, new_params)
+            opt_state = jax.tree.map(
+                lambda o, n: jnp.where(stop, o, n), opt_state, new_opt_state
+            )
+            stats["applied"] = (~stop).astype(jnp.float32)
+            return (params, opt_state, stop), stats
+
+        (params, opt_state, stop), stats = jax.lax.scan(
+            mb_body, (params, opt_state, stop), mb_idx
+        )
+        return (params, opt_state, stop), stats
+
+    ekeys = jax.random.split(key, cfg.update_epochs)
+    (params, opt_state, stop), stats = jax.lax.scan(
+        epoch_body, (params, opt_state, jnp.zeros((), bool)), ekeys
+    )
+    return params, opt_state, stop, stats
+
+
+def make_update_step(cfg: PPOConfig, hooks: EnvHooks, action_dim: int = 2):
+    """Returns update_step(runner, aux) -> (runner, metrics): one full PPO update."""
+    opt = make_optimizer(cfg)
+
+    def rollout_phase(runner: RunnerState, aux, log_std):
+        params = runner.train.params
+
+        def one_step(carry, _):
+            vec, obs, done, key = carry
+            key, akey = jax.random.split(key)
+            action, logprob, value = net.sample_action(params, log_std, obs, akey)
+            vec, next_obs, reward, next_done, term, trunc, info, rec = vector.step(
+                vec, action,
+                lambda s, a, k: hooks.transition(aux, s, a, k),
+                lambda s: hooks.observe(aux, s),
+                lambda k: hooks.reset(aux, k),
+            )
+            out = Batch(
+                obs=obs, actions=action, logprobs=logprob,
+                advantages=jnp.zeros_like(logprob),  # filled by GAE
+                returns=jnp.zeros_like(logprob),
+                values=value,
+            )
+            step_stats = {
+                "reward": reward.astype(jnp.float32),
+                "done_entering": done,
+                "ep_return_sum": jnp.sum(jnp.where(rec["mask"], rec["return"], 0.0)),
+                "ep_length_sum": jnp.sum(jnp.where(rec["mask"], rec["length"], 0)),
+                "ep_count": jnp.sum(rec["mask"].astype(jnp.int32)),
+            }
+            return (vec, next_obs.astype(jnp.float32), next_done, key), (out, step_stats)
+
+        (vec, next_obs, next_done, key), (traj, sstats) = jax.lax.scan(
+            one_step,
+            (runner.vec, runner.obs, runner.done, runner.key),
+            None,
+            length=cfg.num_steps,
+        )
+        return vec, next_obs, next_done, key, traj, sstats
+
+    def update_step(runner: RunnerState, aux):
+        frac, lr, log_std = anneal_fractions(cfg, runner.train.update, action_dim)
+
+        if cfg.reset_envs_each_update:
+            # reference self-play rebuilds all envs every update (self_play_ppo.py:46-50)
+            key, k_env, k_run = jax.random.split(runner.key, 3)
+            env_state = hooks.reset(aux, k_env)
+            runner = runner.replace(
+                vec=vector.init(env_state, cfg.num_envs, k_run),
+                obs=hooks.observe(aux, env_state).astype(jnp.float32),
+                done=jnp.zeros((cfg.num_envs,), bool),
+                key=key,
+            )
+
+        vec, next_obs, next_done, key, traj, sstats = rollout_phase(
+            runner, aux, log_std.astype(jnp.float32)
+        )
+
+        rewards = sstats["reward"]                  # [T, N]
+        traj_done = sstats["done_entering"]         # [T, N] done entering each step
+        values = traj.values
+        next_value = net.critic_value(runner.train.params, next_obs)
+        advantages, returns = compute_gae(
+            rewards, traj_done, values, next_value, next_done,
+            cfg.gamma, cfg.gae_lambda,
+        )
+        batch = traj._replace(advantages=advantages, returns=returns)
+
+        key, ukey = jax.random.split(key)
+        flat = Batch(*(x.reshape((cfg.batch_size,) + x.shape[2:]) for x in batch))
+        params, opt_state, stopped, ustats = run_ppo_update(
+            cfg, opt, runner.train.params, runner.train.opt_state, log_std, lr, flat, ukey
+        )
+
+        train = TrainState(
+            params=params,
+            opt_state=opt_state,
+            update=runner.train.update + 1,
+            global_step=runner.train.global_step + cfg.batch_size,
+        )
+        new_runner = RunnerState(train=train, vec=vec, obs=next_obs, done=next_done, key=key)
+
+        ep_count = jnp.sum(sstats["ep_count"])
+        metrics = {
+            "update": runner.train.update,
+            "global_step": train.global_step,
+            "lr": lr,
+            "log_std": log_std[0],
+            "episodes": ep_count,
+            "mean_ep_return": jnp.where(
+                ep_count > 0, jnp.sum(sstats["ep_return_sum"]) / ep_count, jnp.nan
+            ),
+            "mean_ep_length": jnp.where(
+                ep_count > 0,
+                jnp.sum(sstats["ep_length_sum"]).astype(jnp.float32) / ep_count,
+                jnp.nan,
+            ),
+            "kl_stopped": stopped,
+            "minibatches_applied": jnp.sum(ustats["applied"]),
+            "approx_kl": ustats["approx_kl"][-1, -1],
+            "pg_loss": ustats["pg_loss"][-1, -1],
+            "v_loss": ustats["v_loss"][-1, -1],
+            "entropy": ustats["entropy"][-1, -1],
+            "mean_reward": rewards.mean(),
+        }
+        return new_runner, metrics
+
+    return update_step

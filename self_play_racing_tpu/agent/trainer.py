@@ -1,0 +1,118 @@
+"""Host-side training drivers: the Python loop around the jitted PPO update.
+
+Mirrors the orchestration of /root/reference/agent/ppo.py:211-287 (buffers, per-update
+anneals, logging, training-info JSON) and /root/reference/train.py entry points, with
+all device work in a single jitted function per update.
+"""
+from __future__ import annotations
+
+import json
+import time
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import PPOConfig
+from ..envs import single as senv
+from ..envs import track as trk
+from ..models import actor_critic as net
+from . import ppo
+
+
+def make_single_env_hooks(env_cfg: senv.RacingConfig) -> ppo.EnvHooks:
+    """EnvHooks over the single-agent env; aux = per-env TrackArrays."""
+
+    def reset(aux, key):
+        return senv.reset_state(env_cfg, aux)
+
+    def transition(aux, state, action, key):
+        return senv.transition(env_cfg, aux, state, action)
+
+    def observe(aux, state):
+        return senv.observe(env_cfg, aux, state)
+
+    return ppo.EnvHooks(reset=reset, transition=transition, observe=observe)
+
+
+class PPOTrainer:
+    """Single-agent PPO trainer (reference PPO class equivalent, ppo.py:65-293).
+
+    track: per-env TrackArrays (already gathered to [num_envs, ...]).
+    """
+
+    def __init__(self, cfg: PPOConfig, env_cfg: senv.RacingConfig, track: trk.TrackArrays,
+                 hooks: Optional[ppo.EnvHooks] = None, aux=None):
+        self.cfg = cfg
+        self.env_cfg = env_cfg
+        self.aux = aux if aux is not None else track
+        self.hooks = hooks if hooks is not None else make_single_env_hooks(env_cfg)
+        self.update_step = jax.jit(ppo.make_update_step(cfg, self.hooks, env_cfg.action_dim))
+        key = jax.random.key(cfg.seed)
+        self.runner = ppo.init_runner(
+            key, cfg, self.hooks, self.aux, env_cfg.obs_dim, env_cfg.action_dim
+        )
+        self.training_info = {"steps": [], "rewards": []}
+
+    @property
+    def params(self):
+        return self.runner.train.params
+
+    @property
+    def log_std(self):
+        return ppo.anneal_fractions(self.cfg, self.runner.train.update,
+                                    self.env_cfg.action_dim)[2]
+
+    def train(self, num_updates: Optional[int] = None, log_every: int = 1,
+              on_update=None):
+        """Run the update loop; mirrors reference logging (ppo.py:270-280)."""
+        cfg = self.cfg
+        total = cfg.num_updates if num_updates is None else num_updates
+        t0 = time.perf_counter()
+        for _ in range(total):
+            self.runner, metrics = self.update_step(self.runner, self.aux)
+            m = {k: np.asarray(v) for k, v in metrics.items()}
+            update = int(m["update"]) + 1
+            gstep = int(m["global_step"])
+            if int(m["episodes"]) > 0:
+                self.training_info["steps"].append(gstep)
+                self.training_info["rewards"].append(float(m["mean_ep_return"]))
+                if update % log_every == 0:
+                    dt = time.perf_counter() - t0
+                    sps = gstep / dt
+                    print(
+                        f"Update {update}/{cfg.num_updates} | Step {gstep} | "
+                        f"Episodes: {int(m['episodes'])} | "
+                        f"Mean Reward: {float(m['mean_ep_return']):.2f} | "
+                        f"Mean Length: {float(m['mean_ep_length']):.2f} | "
+                        f"{sps:,.0f} steps/s"
+                    )
+            elif update % log_every == 0:
+                print(f"Update {update}/{cfg.num_updates} | Step {gstep} | "
+                      f"No episodes completed this rollout")
+            if on_update is not None:
+                on_update(self, m)
+        return self.training_info
+
+    def save(self, path: str):
+        """Save policy params + current log_std (reference PPO.save, ppo.py:289-290)."""
+        flat, treedef = jax.tree.flatten(self.runner.train.params)
+        np.savez(
+            path,
+            treedef=str(treedef),
+            log_std=np.asarray(self.log_std),
+            **{f"p{i}": np.asarray(x) for i, x in enumerate(flat)},
+        )
+
+    def load(self, path: str):
+        data = np.load(path, allow_pickle=False)
+        flat = [jnp.asarray(data[f"p{i}"]) for i in range(len(data.files) - 2)]
+        treedef = jax.tree.structure(self.runner.train.params)
+        params = jax.tree.unflatten(treedef, flat)
+        self.runner = self.runner.replace(train=self.runner.train.replace(params=params))
+
+    def save_training_info(self, path: str):
+        with open(path, "w") as f:
+            json.dump(self.training_info, f)

@@ -1,0 +1,83 @@
+"""Training hyperparameters.
+
+The key set and default values mirror the reference configs exactly
+(/root/reference/configs/base_config.py:1-28, self_play_config.py:1-32), with the
+derived ``batch_size``/``minibatch_size`` contract, plus TPU-native additions
+(dtype, anneal endpoints, autoreset/opponent-sampling modes) that default to
+reference-parity behavior.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    # training (base_config.py:4-7)
+    total_timesteps: int = 5_000_000
+    num_envs: int = 16
+    num_steps: int = 2048
+    learning_rate: float = 3e-4
+
+    # ppo specific (base_config.py:10-18)
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_coef: float = 0.2
+    ent_coef: float = 0.01
+    vf_coef: float = 0.5
+    update_epochs: int = 10
+    num_minibatches: int = 16
+    max_grad_norm: float = 0.5
+    kl_target: float = 0.015
+
+    # system (base_config.py:21-23)
+    seed: int = 1
+
+    # log-std anneal endpoints (ppo.py:250-253 single; self_play_ppo.py:135-139 self-play)
+    log_std_start: float = -0.5
+    log_std_end: float = -1.6
+
+    # self-play (self_play_config.py:21-22); 0 snapshot_freq = self-play disabled
+    snapshot_freq: int = 0
+    pool_size: int = 0
+
+    # self-play parity knobs: one opponent per update shared by all envs + a forced
+    # full reset of every env at each opponent swap (the reference rebuilds its
+    # SyncVectorEnv every update, self_play_ppo.py:46-50; SURVEY quirk #7). Disable
+    # both to sample opponents per-env and keep env state resident (scale mode).
+    opponent_per_env: bool = False
+    reset_envs_each_update: bool = False
+
+    @property
+    def batch_size(self) -> int:
+        return self.num_steps * self.num_envs
+
+    @property
+    def minibatch_size(self) -> int:
+        return self.batch_size // self.num_minibatches
+
+    @property
+    def num_updates(self) -> int:
+        return self.total_timesteps // self.batch_size
+
+
+def base_config(**overrides) -> PPOConfig:
+    """Single-agent PPO defaults (base_config.py)."""
+    return dataclasses.replace(PPOConfig(), **overrides)
+
+
+def self_play_config(**overrides) -> PPOConfig:
+    """Self-play defaults (self_play_config.py): 3M steps, lambda .97, ent .02,
+    snapshot every 15 updates, pool of 5, log-std -0.3 -> -1.2, env reset each update."""
+    kw = dict(
+        total_timesteps=3_000_000,
+        gae_lambda=0.97,
+        ent_coef=0.02,
+        snapshot_freq=15,
+        pool_size=5,
+        log_std_start=-0.3,
+        log_std_end=-1.2,
+        reset_envs_each_update=True,
+    )
+    kw.update(overrides)
+    return dataclasses.replace(PPOConfig(), **kw)

@@ -63,7 +63,8 @@ def step(
 ):
     """One lockstep vector step with NEXT_STEP autoreset.
 
-    transition_fn(state, action) -> (new_state, reward, terminated, truncated, info)
+    transition_fn(state, action, key) -> (new_state, reward, terminated, truncated, info)
+      (the key serves envs with stochastic dynamics, e.g. self-play opponent sampling)
     observe_fn(state) -> obs
     reset_fn(key) -> fresh state (batched; key is per-call, envs split internally)
 
@@ -72,9 +73,11 @@ def step(
     (mask False rows are padding, mirroring the ``_episode`` mask at ppo.py:124).
     """
     do_reset = vstate.pending_reset
-    key, reset_key = jax.random.split(vstate.key)
+    key, reset_key, step_key = jax.random.split(vstate.key, 3)
 
-    stepped, reward, terminated, truncated, info = transition_fn(vstate.env, action)
+    stepped, reward, terminated, truncated, info = transition_fn(
+        vstate.env, action, step_key
+    )
     fresh = reset_fn(reset_key)
     merged = jax.tree.map(
         lambda f, s: jnp.where(

@@ -1,0 +1,54 @@
+"""End-to-end training smoke: a tiny PPO run must actually learn.
+
+Random policy on this env scores around -50 per episode (immediate crashes). A few
+updates of PPO should lift the mean episode return well above that — this is the
+learning-curve regression guard (SURVEY §4 test plan, item e).
+"""
+import numpy as np
+
+import jax.numpy as jnp
+
+from self_play_racing_tpu.agent.trainer import PPOTrainer
+from self_play_racing_tpu.configs import base_config
+from self_play_racing_tpu.envs import single as senv
+from self_play_racing_tpu.envs import track as trk
+
+
+def test_ppo_smoke_learns():
+    num_envs = 16
+    cfg = base_config(
+        num_envs=num_envs, num_steps=256, num_minibatches=8, update_epochs=4,
+        total_timesteps=16 * 256 * 12,
+    )
+    cps = trk.gen_tracks(4, seed=1)
+    pool = trk.make_track_pool(cps, [8.0] * 4)
+    track = trk.gather_tracks(pool, np.arange(num_envs) % 4)
+    env_cfg = senv.RacingConfig(num_sensors=11)
+
+    trainer = PPOTrainer(cfg, env_cfg, track)
+    info = trainer.train()
+
+    rewards = info["rewards"]
+    assert len(rewards) >= 8
+    early = np.mean(rewards[:3])
+    late = np.mean(rewards[-3:])
+    assert late > early + 10, f"no learning signal: early={early:.1f} late={late:.1f}"
+    assert np.isfinite(rewards).all()
+
+
+def test_save_load_roundtrip(tmp_path):
+    cfg = base_config(num_envs=4, num_steps=32, num_minibatches=2, update_epochs=2,
+                      total_timesteps=4 * 32 * 2)
+    pool = trk.default_track_pool()
+    track = trk.gather_tracks(pool, [0, 0, 0, 0])
+    env_cfg = senv.RacingConfig(num_sensors=11)
+    trainer = PPOTrainer(cfg, env_cfg, track)
+    trainer.train(num_updates=1)
+    path = str(tmp_path / "agent.npz")
+    trainer.save(path)
+
+    trainer2 = PPOTrainer(cfg, env_cfg, track)
+    trainer2.load(path)
+    import jax
+    for a, b in zip(jax.tree.leaves(trainer.params), jax.tree.leaves(trainer2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
