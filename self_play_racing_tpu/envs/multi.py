@@ -1,0 +1,322 @@
+"""Multi-agent racing environment as pure, batched JAX functions.
+
+Reproduces /root/reference/environment/multi_racing_env.py (+ multi_car.py,
+multi_track.py) semantics over a ``[num_envs, num_agents]`` state layout:
+
+ - per-agent obs = ``num_sensors`` rays in a +-pi/2 cone cast against walls *and* all
+   car rectangles (raycast_with_cars, multi_track.py:5-26) + 4 kinematic features +
+   4 opponent-relative features per opponent (relative position/velocity rotated into
+   the agent's frame, normalized by max_track_distance / MAX_SPEED;
+   multi_racing_env.py:60-105)
+ - actions: steering clipped [-1,1]; throttle remapped (a+1)/2 then clipped [0,1]
+   (multi_racing_env.py:216-217 — differs from the single env's raw [0,1] clip)
+ - pairwise SAT collision -> both cars' velocities x0.92 + (-5) penalty each
+   (multi_racing_env.py:221-231)
+ - per-agent reward: 200*Δprogress + speed*18 + checkpoints 25 + finish
+   100+max(0,300-steps/15) + one-time crash -160 via has_crashed
+   (multi_racing_env.py:155-196) — note the ordering differs from the single env:
+   progress, speed, checkpoints, finish, crash
+ - placement scoring (finished*10000 + progress*100 + !crashed*10 + 1/finished_step)
+   with the reference's (score, idx)-tuple descending sort tie-break (higher agent
+   index wins exact ties), winner +250 at episode end (multi_racing_env.py:198-211,
+   252-259)
+ - terminated = any finished | all crashed; truncated at 3000 steps; dones dict's
+   ``__all__`` = terminated | truncated (multi_racing_env.py:247-265)
+ - staggered side-by-side start grid along the start normal, spacing WIDTH+1.5, with
+   randomized ordering (multi_racing_env.py:118-138)
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops import geometry as geo
+from ..ops.dynamics import DEFAULT_CAR, CarSpec, car_update
+from .track import TrackArrays
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiRacingConfig:
+    num_agents: int = 2
+    num_sensors: int = 11          # multi_racing_env.py:9
+    max_sensor_range: float = 50.0
+    sensor_cone: float = float(np.pi / 2)  # multi_racing_env.py:50
+    dt: float = 0.05
+    max_steps: int = 3000
+    car: CarSpec = DEFAULT_CAR
+
+    @property
+    def obs_dim(self) -> int:
+        return self.num_sensors + 4 + (self.num_agents - 1) * 4
+
+    @property
+    def action_dim(self) -> int:
+        return 2
+
+    def sensor_angles(self) -> np.ndarray:
+        return np.linspace(-self.sensor_cone, self.sensor_cone, self.num_sensors)
+
+
+@struct.dataclass
+class MultiState:
+    """Batched state: car arrays are [N, A]; steps is [N]."""
+
+    x: jnp.ndarray
+    y: jnp.ndarray
+    angle: jnp.ndarray
+    vx: jnp.ndarray
+    vy: jnp.ndarray
+    progress: jnp.ndarray
+    crashed: jnp.ndarray
+    finished: jnp.ndarray
+    steps: jnp.ndarray          # [N] int32
+    last_progress: jnp.ndarray
+    last_steering: jnp.ndarray
+    cp25: jnp.ndarray
+    cp50: jnp.ndarray
+    cp75: jnp.ndarray
+    has_crashed: jnp.ndarray
+    finished_step: jnp.ndarray  # [N, A] int32, 0 = not finished (reference None)
+    placement: jnp.ndarray      # [N, A] int32, 0 until episode end
+
+
+def reset_state(cfg: MultiRacingConfig, track: TrackArrays, key=None,
+                position_idx=None) -> MultiState:
+    """Fresh state with the staggered start grid (multi_racing_env.py:118-148).
+
+    ``position_idx``: optional [N, A] explicit grid slots (parity testing); otherwise
+    a per-env random permutation drawn from ``key``.
+    """
+    dtype = track.wp_x.dtype
+    n = track.wp_x.shape[0]
+    a = cfg.num_agents
+
+    if position_idx is None:
+        if key is None:
+            raise ValueError("reset_state needs a key or explicit position_idx")
+        keys = jax.random.split(key, n)
+        # agent_order = shuffled agent ids; position of agent i = index of i in it
+        order = jax.vmap(lambda k: jax.random.permutation(k, a))(keys)   # [N, A]
+        position_idx = jnp.argsort(order, axis=-1)
+    position_idx = jnp.asarray(position_idx)
+
+    spacing = jnp.asarray(cfg.car.width + 1.5, dtype)
+    center = jnp.asarray((a - 1) / 2.0, dtype)
+    offset = (position_idx.astype(dtype) - center) * spacing          # [N, A]
+
+    x = track.start_x[:, None] + track.start_nx[:, None] * offset
+    y = track.start_y[:, None] + track.start_ny[:, None] * offset
+    zeros = jnp.zeros((n, a), dtype)
+    false = jnp.zeros((n, a), bool)
+    return MultiState(
+        x=x, y=y,
+        angle=jnp.broadcast_to(track.start_angle[:, None].astype(dtype), (n, a)),
+        vx=zeros, vy=zeros, progress=zeros,
+        crashed=false, finished=false,
+        steps=jnp.zeros((n,), jnp.int32),
+        last_progress=zeros, last_steering=zeros,
+        cp25=false, cp50=false, cp75=false,
+        has_crashed=false,
+        finished_step=jnp.zeros((n, a), jnp.int32),
+        placement=jnp.zeros((n, a), jnp.int32),
+    )
+
+
+def _wp(track, like):
+    """Track waypoint arrays broadcast over the agent axis: [N,1,W]."""
+    return (track.wp_x[:, None, :], track.wp_y[:, None, :],
+            track.nrm_x[:, None, :], track.nrm_y[:, None, :])
+
+
+def observe(cfg: MultiRacingConfig, track: TrackArrays, state: MultiState) -> jnp.ndarray:
+    """Per-agent observations, float32 [N, A, obs_dim] (multi_racing_env.py:60-105)."""
+    dtype = state.x.dtype
+    n, a = state.x.shape
+    rel = jnp.asarray(cfg.sensor_angles(), dtype)                    # [R]
+    world = state.angle[:, :, None] + rel[None, None, :]             # [N, A, R]
+
+    # walls: [N, A, R] rays vs [N, 1, 1, S] segments
+    wall = geo.raycast_walls(
+        jnp.broadcast_to(state.x[:, :, None], world.shape),
+        jnp.broadcast_to(state.y[:, :, None], world.shape),
+        jnp.cos(world), jnp.sin(world),
+        track.seg_sx[:, None, None, :], track.seg_sy[:, None, None, :],
+        track.seg_vx[:, None, None, :], track.seg_vy[:, None, None, :],
+        cfg.max_sensor_range,
+    )
+    # cars: every ray sees every car's rectangle; cars whose center is within 0.5 of
+    # the ray origin are skipped (self-exclusion approximation, multi_track.py:12-14)
+    ccx, ccy = geo.car_corners(state.x, state.y, state.angle,
+                               cfg.car.length / 2, cfg.car.width / 2)  # [N, A, 4]
+    cars = geo.raycast_cars(
+        jnp.broadcast_to(state.x[:, :, None], world.shape),
+        jnp.broadcast_to(state.y[:, :, None], world.shape),
+        jnp.cos(world), jnp.sin(world),
+        ccx[:, None, None, :, :], ccy[:, None, None, :, :],
+        state.x[:, None, None, :], state.y[:, None, None, :],
+        cfg.max_sensor_range,
+    )
+    dist = jnp.minimum(wall, cars)                                   # [N, A, R]
+    rays = dist.astype(jnp.float32) / jnp.float32(cfg.max_sensor_range)
+
+    ca = jnp.cos(state.angle)
+    sa = jnp.sin(state.angle)
+    max_speed = jnp.asarray(cfg.car.max_speed, dtype)
+    v_fwd = jnp.clip((state.vx * ca + state.vy * sa) / max_speed, -1.0, 1.0)
+    v_lat = jnp.clip((-state.vx * sa + state.vy * ca) / max_speed, -1.0, 1.0)
+    ang_vel = jnp.zeros_like(v_fwd)  # quirk #1 again: never written after reset
+    feats = jnp.stack([v_fwd, v_lat, ang_vel, state.last_steering], axis=-1)
+
+    # opponent-relative features, in reference agent-index order (skip self)
+    max_td = track.max_track_distance[:, None].astype(dtype)
+    opp_blocks = []
+    for i in range(a):
+        per_opp = []
+        for j in range(a):
+            if j == i:
+                continue
+            rel_x = state.x[:, j] - state.x[:, i]
+            rel_y = state.y[:, j] - state.y[:, i]
+            lrx = jnp.clip((rel_x * ca[:, i] + rel_y * sa[:, i]) / max_td[:, 0], -1.0, 1.0)
+            lry = jnp.clip((-rel_x * sa[:, i] + rel_y * ca[:, i]) / max_td[:, 0], -1.0, 1.0)
+            rel_vx = state.vx[:, j] - state.vx[:, i]
+            rel_vy = state.vy[:, j] - state.vy[:, i]
+            lvx = jnp.clip((rel_vx * ca[:, i] + rel_vy * sa[:, i]) / max_speed, -1.0, 1.0)
+            lvy = jnp.clip((-rel_vx * sa[:, i] + rel_vy * ca[:, i]) / max_speed, -1.0, 1.0)
+            per_opp.append(jnp.stack([lrx, lry, lvx, lvy], axis=-1))  # [N, 4]
+        opp_blocks.append(jnp.concatenate(per_opp, axis=-1))          # [N, 4*(A-1)]
+    opp = jnp.stack(opp_blocks, axis=1)                               # [N, A, 4*(A-1)]
+
+    return jnp.concatenate(
+        [rays, feats.astype(jnp.float32), opp.astype(jnp.float32)], axis=-1
+    )
+
+
+def transition(cfg: MultiRacingConfig, track: TrackArrays, state: MultiState, action):
+    """One step: (new_state, rewards [N,A], terminated [N], truncated [N], info).
+
+    ``action``: [N, A, 2]. ``terminated`` is the per-agent shared done (reference's
+    dones["0"]/["1"]); the episode-level ``__all__`` done is terminated | truncated.
+    """
+    dtype = state.x.dtype
+    n, a = state.x.shape
+
+    steering = jnp.clip(action[..., 0].astype(dtype), -1.0, 1.0)
+    throttle = jnp.clip((action[..., 1].astype(dtype) + 1.0) / 2.0, 0.0, 1.0)
+
+    nx, ny, nang, nvx, nvy = car_update(
+        state.x, state.y, state.angle, state.vx, state.vy, state.crashed,
+        steering, throttle, cfg.dt, cfg.car,
+    )
+    new_progress = jnp.where(
+        state.crashed, state.progress,
+        geo.track_progress(nx, ny, track.wp_x[:, None, :], track.wp_y[:, None, :],
+                           track.n_wp[:, None]),
+    )
+    ccx, ccy = geo.car_corners(nx, ny, nang, cfg.car.length / 2, cfg.car.width / 2)
+    hit_wall = geo.centerline_collision(
+        ccx, ccy, track.wp_x[:, None, :], track.wp_y[:, None, :],
+        track.nrm_x[:, None, :], track.nrm_y[:, None, :],
+        track.track_width[:, None],
+    )
+    crashed = state.crashed | (~state.crashed & hit_wall)
+
+    # pairwise SAT collisions: sequential velocity scaling per colliding pair
+    # (multi_racing_env.py:221-231); corners are position-based so unaffected by the
+    # velocity response within the step
+    touch_penalty = jnp.zeros((n, a), dtype)
+    scale = jnp.asarray(0.92, dtype)
+    for i in range(a):
+        for j in range(i + 1, a):
+            hit = geo.rectangles_intersect(ccx[:, i], ccy[:, i], ccx[:, j], ccy[:, j])
+            for k in (i, j):
+                nvx = nvx.at[:, k].set(jnp.where(hit, nvx[:, k] * scale, nvx[:, k]))
+                nvy = nvy.at[:, k].set(jnp.where(hit, nvy[:, k] * scale, nvy[:, k]))
+                touch_penalty = touch_penalty.at[:, k].add(
+                    jnp.where(hit, jnp.asarray(-5.0, dtype), 0.0)
+                )
+
+    steps = state.steps + 1
+    p, lp = new_progress, state.last_progress
+
+    # reward machine (multi_racing_env.py:155-196) — order: progress, speed,
+    # checkpoints, finish, crash
+    delta = p - lp
+    delta = jnp.where((lp > 0.9) & (p < 0.1), (1.0 - lp) + p, delta)
+    delta = jnp.where((lp < 0.1) & (p > 0.9), -((1.0 - p) + lp), delta)
+
+    reward = delta * jnp.asarray(200.0, dtype)
+
+    speed = jnp.sqrt(nvx**2 + nvy**2)
+    speed_ratio = jnp.clip(speed / jnp.asarray(cfg.car.max_speed, dtype), 0.0, 1.0)
+    reward = reward + jnp.where(~crashed & (delta > 0),
+                                speed_ratio * jnp.asarray(18.0, dtype), 0.0)
+
+    hit25 = ~state.cp25 & (p >= 0.25) & (p < 0.35)
+    cp25 = state.cp25 | hit25
+    hit50 = cp25 & ~state.cp50 & (p >= 0.50) & (p < 0.60)
+    cp50 = state.cp50 | hit50
+    hit75 = cp50 & ~state.cp75 & (p >= 0.75) & (p < 0.85)
+    cp75 = state.cp75 | hit75
+    reward = reward + jnp.asarray(25.0, dtype) * (hit25 + hit50 + hit75).astype(dtype)
+
+    fin_now = cp25 & cp50 & cp75 & (lp > 0.9) & (p < 0.1) & (delta > 0)
+    finished = state.finished | fin_now
+    finished_step = jnp.where(fin_now, steps[:, None], state.finished_step)
+    time_bonus = jnp.maximum(0.0, 300.0 - steps.astype(dtype)[:, None] / 15.0)
+    reward = reward + jnp.where(fin_now, jnp.asarray(100.0, dtype) + time_bonus, 0.0)
+
+    crash_now = crashed & ~state.has_crashed
+    reward = reward - jnp.where(crash_now, jnp.asarray(160.0, dtype), 0.0)
+    has_crashed = state.has_crashed | crash_now
+
+    reward = reward + touch_penalty
+
+    any_finished = jnp.any(finished, axis=-1)
+    all_crashed = jnp.all(crashed, axis=-1)
+    terminated = any_finished | all_crashed
+    truncated = steps >= cfg.max_steps
+    done_all = terminated | truncated
+
+    # placement scoring at episode end (multi_racing_env.py:198-211): descending
+    # (score, idx) tuple sort -> higher agent index wins exact score ties
+    fs = jnp.where(finished_step != 0, finished_step, 10000).astype(dtype)
+    score = (finished.astype(dtype) * 10000.0 + new_progress * 100.0
+             + (~crashed).astype(dtype) * 10.0 + 1.0 / fs)
+    beats = (score[:, :, None] < score[:, None, :]) | (
+        (score[:, :, None] == score[:, None, :])
+        & (jnp.arange(a)[None, :, None] < jnp.arange(a)[None, None, :])
+    )
+    place = 1 + jnp.sum(beats, axis=-1).astype(jnp.int32)  # [N, A]
+    placement = jnp.where(done_all[:, None], place, 0)
+    reward = reward + jnp.where(done_all[:, None] & (place == 1),
+                                jnp.asarray(250.0, dtype), 0.0)
+
+    new_state = MultiState(
+        x=nx, y=ny, angle=nang, vx=nvx, vy=nvy,
+        progress=new_progress, crashed=crashed, finished=finished,
+        steps=steps, last_progress=new_progress, last_steering=steering,
+        cp25=cp25, cp50=cp50, cp75=cp75,
+        has_crashed=has_crashed, finished_step=finished_step, placement=placement,
+    )
+    info = {
+        "x": nx, "y": ny, "speed": speed,
+        "progress": jnp.where(finished, jnp.asarray(1.0, dtype), new_progress),
+        "crashed": crashed, "finished": finished,
+        "reward": reward, "placement": placement,
+    }
+    return new_state, reward, terminated, truncated, info
+
+
+def reset(cfg: MultiRacingConfig, track: TrackArrays, key=None, position_idx=None):
+    state = reset_state(cfg, track, key, position_idx)
+    return state, observe(cfg, track, state)
+
+
+def step(cfg: MultiRacingConfig, track: TrackArrays, state: MultiState, action):
+    new_state, reward, terminated, truncated, info = transition(cfg, track, state, action)
+    return new_state, observe(cfg, track, new_state), reward, terminated, truncated, info
