@@ -1,0 +1,184 @@
+"""Snapshot-pool self-play PPO trainer.
+
+Reproduces /root/reference/agent/self_play_ppo.py:8-186 on top of the jitted PPO core:
+ - every ``snapshot_freq`` updates, freeze the current policy (params + the annealed
+   log_std at snapshot time) into the opponent pool; evict the oldest beyond
+   ``pool_size`` (self_play_ppo.py:113-122) — the pool is a stacked param pytree with a
+   ring-buffer write head.
+ - before every update, pick the rollout opponent uniformly from the pool
+   (self_play_ppo.py:40-44): one index shared by all envs in parity mode (quirk #7) or
+   an independent index per env (``cfg.opponent_per_env``, the intended generalization
+   for large env batches).
+ - the reference closes and rebuilds all vector envs each update (self_play_ppo.py:46-50),
+   implicitly resetting them; ``cfg.reset_envs_each_update`` reproduces that inside the
+   jitted update.
+ - full training checkpoint every 10 updates — update counter, global step, agent +
+   optimizer state, the entire pool, config, training curves (self_play_ppo.py:154-167)
+   — with ``resume_from`` support.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import PPOConfig
+from ..envs import multi as menv
+from ..envs import selfplay as sp
+from ..envs import track as trk
+from ..models import actor_critic as net
+from ..utils import checkpoint as ckpt
+from . import ppo
+from .trainer import PPOTrainer
+
+
+def make_selfplay_hooks(env_cfg: menv.MultiRacingConfig) -> ppo.EnvHooks:
+    """EnvHooks over the self-play view; aux = {"track": ..., "opp": ...}."""
+
+    def reset(aux, key):
+        return sp.reset_state(env_cfg, aux["track"], key)
+
+    def transition(aux, state, action, key):
+        return sp.transition(env_cfg, aux["track"], aux["opp"], state, action, key)
+
+    def observe(aux, state):
+        return sp.observe(state)
+
+    return ppo.EnvHooks(reset=reset, transition=transition, observe=observe)
+
+
+class SelfPlayTrainer(PPOTrainer):
+    """SelfPlayPPO equivalent. ``track`` is per-env TrackArrays for the multi env."""
+
+    def __init__(self, cfg: PPOConfig, env_cfg: menv.MultiRacingConfig,
+                 track: trk.TrackArrays):
+        if cfg.pool_size <= 0 or cfg.snapshot_freq <= 0:
+            raise ValueError("self-play needs pool_size > 0 and snapshot_freq > 0")
+        self.pool_size = cfg.pool_size
+        self.snapshot_freq = cfg.snapshot_freq
+        self.num_snapshots = 0  # total ever taken; write head = num_snapshots % P
+        self._opp_rng = np.random.RandomState(cfg.seed)
+        self.checkpoint_dir: Optional[str] = None
+
+        # stacked pool, zero-initialized; masked out via pool_count until filled
+        proto = net.init_params(jax.random.key(0), env_cfg.obs_dim, env_cfg.action_dim)
+        pool_params = jax.tree.map(
+            lambda x: jnp.zeros((cfg.pool_size,) + x.shape, x.dtype), proto
+        )
+        pool_log_std = jnp.zeros((cfg.pool_size, env_cfg.action_dim), jnp.float32)
+        self.pool = {"params": pool_params, "log_std": pool_log_std}
+
+        idx_shape = (cfg.num_envs,) if cfg.opponent_per_env else ()
+        aux = {
+            "track": track,
+            "opp": {
+                "params": pool_params,
+                "log_std": pool_log_std,
+                "idx": jnp.zeros(idx_shape, jnp.int32),
+                "use_policy": jnp.zeros(idx_shape, bool),
+            },
+        }
+        super().__init__(cfg, env_cfg, track, hooks=make_selfplay_hooks(env_cfg), aux=aux)
+        self.training_info["opponent_pool_size"] = []
+
+    # ---- pool management -------------------------------------------------------
+
+    @property
+    def pool_count(self) -> int:
+        return min(self.num_snapshots, self.pool_size)
+
+    def snapshot_agent(self):
+        """Freeze current params + log_std into the ring slot (self_play_ppo.py:31-38)."""
+        slot = self.num_snapshots % self.pool_size
+        params = self.runner.train.params
+        log_std = self.log_std
+        self.pool = {
+            "params": jax.tree.map(
+                lambda p, x: p.at[slot].set(x.astype(p.dtype)),
+                self.pool["params"], params,
+            ),
+            "log_std": self.pool["log_std"].at[slot].set(log_std),
+        }
+        self.num_snapshots += 1
+
+    def select_opponent(self):
+        """Uniform choice over the live pool (self_play_ppo.py:40-44); empty pool ->
+        random-action opponent."""
+        count = self.pool_count
+        cfg = self.cfg
+        shape = (cfg.num_envs,) if cfg.opponent_per_env else ()
+        if count == 0:
+            idx = np.zeros(shape, np.int32)
+            use = np.zeros(shape, bool)
+        else:
+            idx = self._opp_rng.randint(0, count, size=shape).astype(np.int32)
+            use = np.ones(shape, bool)
+        self.aux["opp"] = {
+            "params": self.pool["params"],
+            "log_std": self.pool["log_std"],
+            "idx": jnp.asarray(idx),
+            "use_policy": jnp.asarray(use),
+        }
+
+    # ---- trainer hooks ---------------------------------------------------------
+
+    def _pre_update(self):
+        update = int(self.runner.train.update)
+        if update > 0 and update % self.snapshot_freq == 0 and \
+                self.num_snapshots * self.snapshot_freq <= update:
+            self.snapshot_agent()
+        self.select_opponent()
+
+    def _post_update(self, metrics):
+        update = int(metrics["update"])
+        if int(metrics["episodes"]) > 0:
+            self.training_info["opponent_pool_size"].append(self.pool_count)
+        if self.checkpoint_dir and update > 0 and update % 10 == 0:
+            self.save_checkpoint(
+                os.path.join(self.checkpoint_dir, f"checkpoint_update_{update}")
+            )
+
+    # ---- checkpoint / resume (self_play_ppo.py:52-68, 154-167) ----------------
+
+    def _ckpt_tree(self):
+        return {"train": self.runner.train, "pool": self.pool}
+
+    def save_checkpoint(self, path: str):
+        meta = {
+            "num_snapshots": self.num_snapshots,
+            "config": dataclasses.asdict(
+                dataclasses.replace(self.cfg)
+            ),
+            "training_info": self.training_info,
+        }
+        ckpt.save_pytree(path, self._ckpt_tree(), meta)
+        print(f"Saved full checkpoint to {path}")
+
+    def load_checkpoint(self, path: str):
+        tree, meta = ckpt.load_pytree(path, self._ckpt_tree())
+        self.runner = self.runner.replace(train=tree["train"])
+        self.pool = tree["pool"]
+        self.num_snapshots = int(meta["num_snapshots"])
+        self.training_info = meta.get(
+            "training_info", {"steps": [], "rewards": [], "opponent_pool_size": []}
+        )
+        print(f"Loaded checkpoint from {path} "
+              f"(update {int(self.runner.train.update)}, pool {self.pool_count})")
+
+    def train(self, num_updates: Optional[int] = None, log_every: int = 1,
+              on_update=None, resume_from: Optional[str] = None,
+              checkpoint_dir: Optional[str] = None):
+        self.checkpoint_dir = checkpoint_dir
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+        if resume_from:
+            self.load_checkpoint(resume_from)
+            if num_updates is None:
+                num_updates = self.cfg.num_updates - int(self.runner.train.update)
+        return super().train(num_updates=num_updates, log_every=log_every,
+                             on_update=on_update)

@@ -72,6 +72,7 @@ class PPOTrainer:
         total = cfg.num_updates if num_updates is None else num_updates
         t0 = time.perf_counter()
         for _ in range(total):
+            self._pre_update()
             self.runner, metrics = self.update_step(self.runner, self.aux)
             m = {k: np.asarray(v) for k, v in metrics.items()}
             update = int(m["update"]) + 1
@@ -92,9 +93,16 @@ class PPOTrainer:
             elif update % log_every == 0:
                 print(f"Update {update}/{cfg.num_updates} | Step {gstep} | "
                       f"No episodes completed this rollout")
+            self._post_update(m)
             if on_update is not None:
                 on_update(self, m)
         return self.training_info
+
+    def _pre_update(self):
+        """Hook before each update (self-play: snapshot/opponent selection)."""
+
+    def _post_update(self, metrics):
+        """Hook after each update (self-play: periodic full checkpoints)."""
 
     def save(self, path: str):
         """Save policy params + current log_std (reference PPO.save, ppo.py:289-290)."""

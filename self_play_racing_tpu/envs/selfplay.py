@@ -1,0 +1,99 @@
+"""Self-play view: agent-0 perspective of the multi-agent env, opponents driven by a
+frozen snapshot policy — fully on-device.
+
+Replaces /root/reference/environment/wrappers.py:5-63. The reference runs the frozen
+opponent one observation at a time through torch with a host round-trip per env per
+step (wrappers.py:36-39, batch size 1 — the dominant inefficiency of its rollout); here
+opponent inference is one batched MLP apply over the whole env batch, and opponent
+*selection* is per-env: actions are computed under every pool member (the pool is tiny)
+and gathered by index — no weight-gather traffic.
+
+Semantics preserved:
+ - opponent acts on the observation from the *previous* step (the wrapper's
+   last_obs_dict, wrappers.py:24-27,35,47) — we store all agents' current obs in the
+   state so each step senses exactly once.
+ - empty pool -> opponent action ~ Uniform(action_space) = Box([-1,0],[1,1]).sample()
+   (wrappers.py:31-32); with the multi env's (a+1)/2 throttle remap this means random
+   opponents drive with throttle in [0.5, 1].
+ - pool opponent: sample from Normal(mu, exp(log_std)) and clamp to [-1,1], using the
+   log_std captured at snapshot time (the reference deep-copies the buffer,
+   self_play_ppo.py:31-38).
+ - returned ``terminated`` is the episode-level ``__all__`` flag, like the wrapper's
+   ``done`` (wrappers.py:52).
+
+The opponent specification travels in the trainer's ``aux`` pytree:
+  ``opp = {"params": stacked pool pytree [P, ...], "log_std": [P, act_dim],
+           "idx": [N] int32 per-env pool index, "use_policy": [N] bool}``
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..models import actor_critic as net
+from . import multi
+from .track import TrackArrays
+
+
+@struct.dataclass
+class SelfPlayState:
+    inner: multi.MultiState
+    obs_all: jnp.ndarray  # [N, A, obs_dim] float32 — obs of the *current* state
+
+
+def reset_state(cfg: multi.MultiRacingConfig, track: TrackArrays, key) -> SelfPlayState:
+    inner = multi.reset_state(cfg, track, key)
+    return SelfPlayState(inner=inner, obs_all=multi.observe(cfg, track, inner))
+
+
+def opponent_actions(cfg: multi.MultiRacingConfig, opp, opp_obs, key):
+    """Batched frozen-opponent actions for one opponent seat.
+
+    opp_obs: [N, obs_dim] (previous-step observations). Computes actions under every
+    pool member — [P] tiny-MLP applies — then gathers per-env by ``opp["idx"]``; falls
+    back to a uniform action-space sample where ``use_policy`` is False.
+    """
+    n = opp_obs.shape[0]
+    k_noise, k_rand = jax.random.split(key)
+
+    mus = jax.vmap(net.actor_mu, in_axes=(0, None))(opp["params"], opp_obs)  # [P,N,2]
+    stds = jnp.exp(opp["log_std"])[:, None, :]                               # [P,1,2]
+    noise = jax.random.normal(k_noise, mus.shape[1:], mus.dtype)
+    acts = jnp.clip(mus + stds * noise, -1.0, 1.0)                           # [P,N,2]
+    idx = jnp.broadcast_to(jnp.asarray(opp["idx"]), (n,))
+    policy_act = jnp.take_along_axis(acts, idx[None, :, None], axis=0)[0]    # [N,2]
+
+    low = jnp.asarray([-1.0, 0.0], policy_act.dtype)
+    high = jnp.asarray([1.0, 1.0], policy_act.dtype)
+    rand_act = jax.random.uniform(k_rand, (n, 2), policy_act.dtype,
+                                  minval=low, maxval=high)
+    use = jnp.broadcast_to(jnp.asarray(opp["use_policy"]), (n,))[:, None]
+    return jnp.where(use, policy_act, rand_act)
+
+
+def transition(cfg: multi.MultiRacingConfig, track: TrackArrays, opp,
+               state: SelfPlayState, action0, key):
+    """Agent-0 step: opponents act from their previous-step obs, the combined action
+    steps the multi env, and the new state's observations are computed once."""
+    a = cfg.num_agents
+    keys = jax.random.split(key, a - 1)
+    opp_acts = [
+        opponent_actions(cfg, opp, state.obs_all[:, seat], keys[seat - 1])
+        for seat in range(1, a)
+    ]
+    actions = jnp.stack([action0.astype(jnp.float32), *opp_acts], axis=1)  # [N, A, 2]
+
+    inner, rewards, terminated, truncated, info = multi.transition(
+        cfg, track, state.inner, actions
+    )
+    obs_all = multi.observe(cfg, track, inner)
+    new_state = SelfPlayState(inner=inner, obs_all=obs_all)
+
+    done_all = terminated | truncated  # wrapper returns __all__ as its done
+    info0 = {k: v[:, 0] for k, v in info.items()}
+    return new_state, rewards[:, 0], done_all, truncated, info0
+
+
+def observe(state: SelfPlayState) -> jnp.ndarray:
+    return state.obs_all[:, 0]

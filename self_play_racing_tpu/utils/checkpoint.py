@@ -1,0 +1,53 @@
+"""Checkpointing: flat-array pytree snapshots (npz) with a JSON sidecar for host state.
+
+Equivalent of the reference's full training checkpoint (self_play_ppo.py:154-167):
+agent params, optimizer state, update counter, global step, the entire opponent pool,
+config echo, and training curves — everything needed for ``resume_from``.
+
+npz keeps this dependency-light and fast for the MLP-sized states here; the pytree
+structure is supplied by the caller as a template on load (orbax-style structured
+checkpointing can layer on top for multi-host async saves).
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def save_pytree(path: str, tree, meta: dict | None = None):
+    """Save an arbitrary pytree of arrays + a JSON-serializable ``meta`` dict."""
+    flat = jax.tree.leaves(tree)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, n_leaves=len(flat), **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)})
+    if meta is not None:
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
+
+
+def load_pytree(path: str, template):
+    """Load arrays saved by ``save_pytree`` into the structure of ``template``.
+
+    Returns (tree, meta) — meta is {} if no sidecar exists.
+    """
+    if not path.endswith(".npz") and not os.path.exists(path):
+        path = path + ".npz"
+    data = np.load(path, allow_pickle=False)
+    n = int(data["n_leaves"])
+    flat = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
+    treedef = jax.tree.structure(template)
+    if treedef.num_leaves != n:
+        raise ValueError(
+            f"checkpoint has {n} leaves but template expects {treedef.num_leaves}"
+        )
+    tree = jax.tree.unflatten(treedef, flat)
+    meta_path = (path[:-4] if path.endswith(".npz") else path) + ".meta.json"
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return tree, meta

@@ -1,0 +1,126 @@
+"""Self-play layer parity + trainer mechanics.
+
+Wrapper parity: a near-deterministic frozen opponent (log_std = -20 => std ~ 2e-9)
+lets us compare our on-device self-play view against the reference SelfPlayWrapper
+step-for-step despite both sides nominally *sampling* opponent actions.
+"""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from self_play_racing_tpu.agent.self_play import SelfPlayTrainer
+from self_play_racing_tpu.configs import self_play_config
+from self_play_racing_tpu.envs import multi as menv
+from self_play_racing_tpu.envs import selfplay as sp
+from self_play_racing_tpu.envs import track as jtrack
+from self_play_racing_tpu.models import actor_critic as net
+
+from agent.ppo import Agent as RefAgent
+from environment.multi_racing_env import MultiRacingEnv as RefMultiEnv
+from environment.wrappers import SelfPlayWrapper as RefWrapper
+
+
+class _Space:
+    def __init__(self, shape):
+        self.shape = shape
+
+
+def test_selfplay_wrapper_parity_frozen_opponent():
+    width = 8.0
+    cps = [jtrack.gen_random_track(12, 60, 15, 0.4, 0.5, seed=5)]
+    pool = jtrack.make_track_pool(cps, [width], dtype=jnp.float64)
+    track = jtrack.gather_tracks(pool, [0])
+    cfg = menv.MultiRacingConfig(num_agents=2, num_sensors=11)
+
+    # identical frozen opponent on both sides, essentially deterministic
+    opp_params = net.init_params(jax.random.key(7), cfg.obs_dim, cfg.action_dim)
+    log_std = jnp.full((2,), -20.0, jnp.float32)
+    ref_opp = RefAgent(_Space((cfg.obs_dim,)), _Space((2,)))
+    ref_opp.load_state_dict(net.params_to_torch_state_dict(opp_params, log_std))
+    ref_opp.eval()
+
+    ref_env = RefWrapper(
+        RefMultiEnv(num_agents=2, num_sensors=11, track_pool=cps, track_id=0,
+                    track_width=width),
+        0,
+    )
+    ref_env.set_opponent(ref_opp)
+    np.random.seed(3)
+    order = [0, 1]
+    np.random.shuffle(order)
+    np.random.seed(3)
+    ref_obs, _ = ref_env.reset()
+    pos = np.array([order.index(i) for i in range(2)])
+
+    state = sp.SelfPlayState(
+        inner=menv.reset_state(cfg, track, position_idx=pos[None, :]),
+        obs_all=jnp.zeros((1, 2, cfg.obs_dim), jnp.float32),
+    )
+    state = sp.SelfPlayState(inner=state.inner,
+                             obs_all=menv.observe(cfg, track, state.inner))
+    np.testing.assert_allclose(np.asarray(sp.observe(state)[0]), ref_obs,
+                               rtol=0, atol=1e-6)
+
+    opp = {
+        "params": jax.tree.map(lambda x: x[None], opp_params),
+        "log_std": log_std[None],
+        "idx": jnp.zeros((), jnp.int32),
+        "use_policy": jnp.ones((), bool),
+    }
+    step_fn = jax.jit(
+        lambda tr, op, s, a, k: sp.transition(cfg, tr, op, s, a, k)
+    )
+    key = jax.random.key(0)
+    for t in range(200):
+        a0 = np.array([0.3 * np.sin(t / 13.0), 0.5], np.float32)
+        robs, rrew, rdone, rtrunc, rinfo = ref_env.step(a0)
+        key, k = jax.random.split(key)
+        state, jrew, jdone, jtrunc, jinfo = step_fn(
+            track, opp, state, jnp.asarray(a0)[None], k
+        )
+        assert float(jrew[0]) == pytest.approx(rrew, rel=0, abs=1e-4), f"step {t}"
+        assert bool(jdone[0]) == rdone, f"step {t}"
+        np.testing.assert_allclose(np.asarray(sp.observe(state)[0]), robs,
+                                   rtol=0, atol=1e-4)
+        if rdone or rtrunc:
+            break
+    assert t > 20  # the comparison actually covered a meaningful horizon
+
+
+def test_selfplay_trainer_smoke(tmp_path):
+    cfg = self_play_config(
+        num_envs=8, num_steps=96, num_minibatches=4, update_epochs=3,
+        total_timesteps=8 * 96 * 8, snapshot_freq=2, pool_size=3,
+    )
+    cps = jtrack.gen_tracks(4, seed=1)
+    pool = jtrack.make_track_pool(cps, [8.0] * 4)
+    track = jtrack.gather_tracks(pool, np.arange(8) % 4)
+    env_cfg = menv.MultiRacingConfig(num_agents=2, num_sensors=11)
+
+    tr = SelfPlayTrainer(cfg, env_cfg, track)
+    info = tr.train(checkpoint_dir=str(tmp_path))
+    # snapshots at updates 2,4,6 -> 3 snapshots, pool capped at 3
+    assert tr.num_snapshots == 3
+    assert tr.pool_count == 3
+    assert np.isfinite(info["rewards"]).all()
+    assert len(info["opponent_pool_size"]) > 0
+
+    # checkpoint written at update 10? (only 8 updates) -> save/load roundtrip manually
+    path = str(tmp_path / "ckpt_final")
+    tr.save_checkpoint(path)
+    tr2 = SelfPlayTrainer(cfg, env_cfg, track)
+    tr2.load_checkpoint(path)
+    assert tr2.num_snapshots == 3
+    for a, b in zip(jax.tree.leaves(tr.pool), jax.tree.leaves(tr2.pool)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(tr.runner.train.params),
+                    jax.tree.leaves(tr2.runner.train.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(tr2.runner.train.update) == int(tr.runner.train.update)
+
+    # resumed training continues without error
+    tr2.train(num_updates=1)
+    assert int(tr2.runner.train.update) == int(tr.runner.train.update) + 1
