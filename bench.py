@@ -1,0 +1,97 @@
+"""Headline benchmark: lockstep env throughput at 4096 vectorized envs on one chip.
+
+Measures the full production rollout path — policy inference (actor-critic MLP sample)
++ single-agent env transition (11-ray raycast against ~900 boundary segments, nearest-
+waypoint progress, corner collision) + NEXT_STEP autoreset + episode statistics — as a
+jitted lax.scan, i.e. exactly the per-step work PPO training performs.
+
+Prints ONE JSON line:
+  {"metric": "env_steps_per_s", "value": N, "unit": "steps/s", "vs_baseline": N/1e6}
+vs_baseline is the ratio against the BASELINE.md north-star of 1M env-steps/s per host.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from self_play_racing_tpu.agent import ppo as jppo
+    from self_play_racing_tpu.agent.trainer import make_single_env_hooks
+    from self_play_racing_tpu.configs import base_config
+    from self_play_racing_tpu.envs import single as senv
+    from self_play_racing_tpu.envs import track as trk
+    from self_play_racing_tpu.envs import vector
+    from self_play_racing_tpu.models import actor_critic as net
+
+    num_envs = 4096
+    num_tracks = 16
+    scan_steps = 256
+    reps = 4
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    cps = trk.gen_tracks(num_tracks, seed=1)
+    widths = [float(np.random.RandomState(i).randint(6, 10)) for i in range(num_tracks)]
+    pool = trk.make_track_pool(cps, widths, dtype=jnp.float32)
+    track = trk.gather_tracks(pool, np.arange(num_envs) % num_tracks)
+    env_cfg = senv.RacingConfig(num_sensors=11)
+    hooks = make_single_env_hooks(env_cfg)
+
+    params = net.init_params(jax.random.key(0), env_cfg.obs_dim, env_cfg.action_dim)
+    log_std = jnp.full((env_cfg.action_dim,), -0.5, jnp.float32)
+
+    def rollout(track, params, vstate, obs, key):
+        def one_step(carry, _):
+            vstate, obs, key = carry
+            key, akey = jax.random.split(key)
+            action, logprob, value = net.sample_action(params, log_std, obs, akey)
+            vstate, next_obs, reward, done, term, trunc, info, rec = vector.step(
+                vstate, action,
+                lambda s, a, k: hooks.transition(track, s, a, k),
+                lambda s: hooks.observe(track, s),
+                lambda k: hooks.reset(track, k),
+            )
+            return (vstate, next_obs, key), reward.sum()
+
+        (vstate, obs, key), rews = jax.lax.scan(
+            one_step, (vstate, obs, key), None, length=scan_steps
+        )
+        return vstate, obs, key, rews.sum()
+
+    rollout_jit = jax.jit(rollout)
+
+    state, obs = senv.reset(env_cfg, track)
+    vstate = vector.init(state, num_envs, jax.random.key(1))
+    key = jax.random.key(2)
+
+    t0 = time.perf_counter()
+    vstate, obs, key, rsum = rollout_jit(track, params, vstate, obs, key)
+    jax.block_until_ready(rsum)
+    print(f"compile + first run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        vstate, obs, key, rsum = rollout_jit(track, params, vstate, obs, key)
+    jax.block_until_ready(rsum)
+    dt = time.perf_counter() - t0
+
+    steps = num_envs * scan_steps * reps
+    sps = steps / dt
+    print(f"{steps:,} env-steps in {dt:.3f}s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "env_steps_per_s",
+        "value": round(sps),
+        "unit": "steps/s",
+        "vs_baseline": round(sps / 1_000_000, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

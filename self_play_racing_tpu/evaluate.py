@@ -1,0 +1,175 @@
+"""Evaluation entry point (reference evaluate.py equivalent).
+
+Runs the cross-model evaluation grid — 40 tracks x 5 runs, seed 42, the reference's
+exact width-draw quirk (RandomState(seed+i) indexed by run, evaluate.py:181,30) — as
+batched jitted rollouts, dumps per-model JSON results, and renders the comparison bar
+chart. Accepts our ``.npz`` checkpoints or reference torch ``.pth`` state dicts (the
+interop layer transposes the weights).
+
+  python -m self_play_racing_tpu.evaluate --single models/single_agent.npz \
+      --multi models/self_play_agent.npz
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .envs import multi as menv
+from .envs import single as senv
+from .models import actor_critic as net
+from .utils import metrics as M
+
+
+def load_policy(path):
+    """(params, log_std) from .npz (ours) or .pth (reference torch state dict)."""
+    if path.endswith(".pth") or path.endswith(".pt"):
+        return net.params_from_torch_state_dict(path)
+    data = np.load(path, allow_pickle=False)
+    n = sum(1 for k in data.files if k.startswith("p") and k[1:].isdigit())
+    flat = [jnp.asarray(data[f"p{i}"]) for i in range(n)]
+    template = net.init_params(jax.random.key(0), 1, 1)
+    treedef = jax.tree.structure(template)
+    params = jax.tree.unflatten(treedef, flat)
+    return params, jnp.asarray(data["log_std"])
+
+
+def evaluate_single_agent_overall(grid, model_path, num_tracks=40, num_runs=5,
+                                  seed=42, deterministic=False):
+    """evaluate.py:12-66 equivalent, one batched rollout for the whole grid."""
+    params, log_std = load_policy(model_path)
+    track, track_ids, run_ids = grid
+    env_cfg = senv.RacingConfig(num_sensors=11)
+    eps = jax.jit(
+        lambda tr, key: M.rollout_single(params, log_std, env_cfg, tr, key,
+                                         max_steps=2000, deterministic=deterministic)
+    )(track, jax.random.key(seed))
+    eps = {k: np.asarray(v) for k, v in eps.items()}
+    results = M.aggregate(eps)
+    results["all_episodes"] = [
+        {k: (float(v[i]) if v.dtype.kind == "f" else
+             (bool(v[i]) if v.dtype.kind == "b" else int(v[i])))
+         for k, v in eps.items()}
+        for i in range(len(eps["steps"]))
+    ]
+    return results
+
+
+def evaluate_multi_agent_overall(grid, model_path, num_tracks=40, num_runs=5,
+                                 seed=42, deterministic=False):
+    """evaluate.py:68-122 equivalent: shared policy drives both cars."""
+    params, log_std = load_policy(model_path)
+    track, track_ids, run_ids = grid
+    env_cfg = menv.MultiRacingConfig(num_agents=2, num_sensors=11)
+    eps = M.rollout_multi(params, log_std, env_cfg, track, jax.random.key(seed),
+                          max_steps=3000, deterministic=deterministic)
+    eps = {k: np.asarray(v) for k, v in eps.items()}
+    results = M.aggregate(eps)
+    results["all_episodes"] = [
+        {k: (float(v[i]) if v.dtype.kind == "f" else
+             (bool(v[i]) if v.dtype.kind == "b" else int(v[i])))
+         for k, v in eps.items()}
+        for i in range(len(eps["steps"]))
+    ]
+    return results
+
+
+def display_comparison(results_files, labels, output_path):
+    """Grouped normalized bar chart (utils/metrics.py:185-235)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    all_results = []
+    for file in results_files:
+        with open(file) as f:
+            all_results.append(json.load(f))
+
+    categories = ["Success Rate", "Avg Speed\n(normalized)",
+                  "Avg Distance\n(normalized)", "Steps / Progress"]
+    max_speed = max((r["avg_speed"] for r in all_results if r["avg_speed"] > 0),
+                    default=1.0)
+    max_distance = max((r["avg_distance"] for r in all_results if r["avg_distance"] > 0),
+                       default=1.0)
+    max_spp = max((r["avg_steps_per_progress"] for r in all_results), default=1.0) or 1.0
+
+    data = [
+        [r["success_rate"],
+         r["avg_speed"] / max_speed if r["avg_speed"] > 0 else 0,
+         r["avg_distance"] / max_distance if r["avg_distance"] > 0 else 0,
+         r["avg_steps_per_progress"] / max_spp]
+        for r in all_results
+    ]
+    x = np.arange(len(categories))
+    width = 0.8 / len(data)
+    fig, ax = plt.subplots(figsize=(16, 7))
+    for i, (agent_data, label) in enumerate(zip(data, labels)):
+        offset = (i - len(data) / 2 + 0.5) * width
+        ax.bar(x + offset, agent_data, width, label=label, alpha=0.8)
+    ax.set_ylabel("Normalized Value")
+    ax.set_title("Agent Performance Comparison")
+    ax.set_xticks(x)
+    ax.set_xticklabels(categories)
+    ax.legend(loc="upper right")
+    ax.grid(axis="y", alpha=0.3)
+    plt.tight_layout()
+    plt.savefig(output_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    print(f"Performance comparison chart saved to {output_path}")
+
+
+def eval(models: dict, num_tracks=40, num_runs=5, seed=42, out_dir="data",
+         chart="static/eval_comparison.png", deterministic=False):
+    """Full eval flow (evaluate.py:173-238). ``models`` maps label ->
+    (kind, path) with kind in {"single", "multi"}."""
+    os.makedirs(out_dir, exist_ok=True)
+    grid = M.build_eval_grid(num_tracks, num_runs, seed)
+    result_files, labels = [], []
+    for label, (kind, path) in models.items():
+        print(f"Evaluating {label} ({kind}) from {path}")
+        fn = (evaluate_single_agent_overall if kind == "single"
+              else evaluate_multi_agent_overall)
+        results = fn(grid, path, num_tracks, num_runs, seed, deterministic)
+        out_path = os.path.join(out_dir, f"eval_info_{label}.json")
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"  success_rate={results['success_rate']:.3f} "
+              f"crash_rate={results['crash_rate']:.3f} "
+              f"avg_speed={results['avg_speed']:.2f}")
+        result_files.append(out_path)
+        labels.append(label)
+    if chart and result_files:
+        os.makedirs(os.path.dirname(chart) or ".", exist_ok=True)
+        display_comparison(result_files, labels, chart)
+    return result_files
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--single", action="append", default=[],
+                   help="path to a single-agent policy (.npz or .pth)")
+    p.add_argument("--multi", action="append", default=[],
+                   help="path to a self-play/multi policy (.npz or .pth)")
+    p.add_argument("--num-tracks", type=int, default=40)
+    p.add_argument("--num-runs", type=int, default=5)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--deterministic", action="store_true")
+    args = p.parse_args(argv)
+    models = {}
+    for i, path in enumerate(args.single):
+        models[f"single_{i}" if len(args.single) > 1 else "single"] = ("single", path)
+    for i, path in enumerate(args.multi):
+        models[f"self_play_{i}" if len(args.multi) > 1 else "self_play"] = ("multi", path)
+    if not models:
+        raise SystemExit("pass at least one --single/--multi model path")
+    eval(models, args.num_tracks, args.num_runs, args.seed,
+         deterministic=args.deterministic)
+
+
+if __name__ == "__main__":
+    main()

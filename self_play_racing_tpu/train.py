@@ -1,0 +1,161 @@
+"""Training entry points (reference train.py:16,65,117 equivalents) with a CLI.
+
+  python -m self_play_racing_tpu.train multi    # self-play PPO   (train_multi)
+  python -m self_play_racing_tpu.train single   # single-agent PPO (train_single)
+  python -m self_play_racing_tpu.train sb3      # SB3 baseline through the gym adapter
+                                                 (train_single_baseline; needs SB3)
+
+Track pools are generated with the reference's exact seed/stream conventions
+(train.py:28-31: gen_tracks(num_envs, seed) then per-env widths randint[6,10) drawn
+from the global RNG, identity track assignment).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import random
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .agent.self_play import SelfPlayTrainer
+from .agent.trainer import PPOTrainer
+from .configs import base_config, self_play_config
+from .envs import multi as menv
+from .envs import single as senv
+from .envs import track as trk
+
+
+def _seed_all(seed: int):
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def make_training_pool(cfg, dtype=jnp.float32):
+    """TRACK_POOL + TRACK_WIDTHS + identity assignment (train.py:28-31)."""
+    cps = trk.gen_tracks(num_tracks=cfg.num_envs, seed=cfg.seed)
+    widths = [float(np.random.randint(6, 10)) for _ in range(cfg.num_envs)]
+    pool = trk.make_track_pool(cps, widths, dtype=dtype)
+    return trk.gather_tracks(pool, np.arange(cfg.num_envs))
+
+
+def train_multi(total_timesteps=None, num_envs=None, out="models/self_play_agent.npz",
+                checkpoint_dir="models", num_updates=None, **cfg_overrides):
+    overrides = dict(cfg_overrides)
+    if total_timesteps:
+        overrides["total_timesteps"] = total_timesteps
+    if num_envs:
+        overrides["num_envs"] = num_envs
+    cfg = self_play_config(**overrides)
+    _seed_all(cfg.seed)
+    print("Generating track pool")
+    track = make_training_pool(cfg)
+    env_cfg = menv.MultiRacingConfig(num_agents=2, num_sensors=11)
+
+    print("=" * 60)
+    print("SELF PLAY PPO TRAINING")
+    print("=" * 60)
+    print(f"Total timesteps: {cfg.total_timesteps:,} | Envs: {cfg.num_envs} | "
+          f"Batch: {cfg.batch_size:,} | Updates: {cfg.num_updates} | "
+          f"Snapshot freq: {cfg.snapshot_freq} | Pool: {cfg.pool_size}")
+    trainer = SelfPlayTrainer(cfg, env_cfg, track)
+    trainer.train(num_updates=num_updates, checkpoint_dir=checkpoint_dir)
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    trainer.save(out)
+    os.makedirs("data", exist_ok=True)
+    trainer.save_training_info("data/training_info_self_play.json")
+    print(f"Final model saved to {out}")
+    return trainer
+
+
+def train_single(total_timesteps=None, num_envs=None, out="models/single_agent.npz",
+                 num_updates=None, **cfg_overrides):
+    overrides = dict(cfg_overrides)
+    if total_timesteps:
+        overrides["total_timesteps"] = total_timesteps
+    if num_envs:
+        overrides["num_envs"] = num_envs
+    cfg = base_config(**overrides)
+    _seed_all(cfg.seed)
+    print("Generating track pool")
+    track = make_training_pool(cfg)
+    env_cfg = senv.RacingConfig(num_sensors=11)
+
+    print("=" * 60)
+    print("PPO TRAINING")
+    print("=" * 60)
+    print(f"Total timesteps: {cfg.total_timesteps:,} | Envs: {cfg.num_envs} | "
+          f"Batch: {cfg.batch_size:,} | Updates: {cfg.num_updates}")
+    trainer = PPOTrainer(cfg, env_cfg, track)
+    trainer.train(num_updates=num_updates)
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    trainer.save(out)
+    os.makedirs("data", exist_ok=True)
+    trainer.save_training_info("data/training_info_single.json")
+    print(f"Final model saved to {out}")
+    return trainer
+
+
+def train_single_baseline(total_timesteps=None,
+                          out="models/sb3_baseline_agent_general",
+                          **cfg_overrides):
+    """SB3 PPO on the gym adapter (train.py:117-188). Requires stable_baselines3."""
+    try:
+        from stable_baselines3 import PPO as SB3_PPO
+        from stable_baselines3.common.vec_env import DummyVecEnv
+        import gymnasium as gym
+    except ImportError as e:
+        raise SystemExit(
+            "stable_baselines3 is not installed in this environment; the SB3 "
+            "baseline entry point is optional and gated."
+        ) from e
+
+    overrides = dict(cfg_overrides)
+    if total_timesteps:
+        overrides["total_timesteps"] = total_timesteps
+    cfg = base_config(**overrides)
+    _seed_all(cfg.seed)
+    cps = trk.gen_tracks(num_tracks=cfg.num_envs, seed=cfg.seed)
+    widths = [float(np.random.randint(6, 10)) for _ in range(cfg.num_envs)]
+
+    from .envs.gym_adapter import RacingEnv
+
+    def make_env(i):
+        def thunk():
+            env = RacingEnv(num_sensors=11, track_pool=cps, track_id=i,
+                            track_width=widths[i], dtype=jnp.float32)
+            return gym.wrappers.RecordEpisodeStatistics(env)
+        return thunk
+
+    env = DummyVecEnv([make_env(i) for i in range(cfg.num_envs)])
+    model = SB3_PPO("MlpPolicy", env, seed=cfg.seed)
+    model.learn(total_timesteps=cfg.total_timesteps, progress_bar=False)
+    model.save(out)
+    env.close()
+    return model
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("mode", choices=["multi", "single", "sb3", "all"])
+    p.add_argument("--total-timesteps", type=int, default=None)
+    p.add_argument("--num-envs", type=int, default=None)
+    p.add_argument("--num-updates", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    args = p.parse_args(argv)
+    kw = {}
+    if args.seed is not None:
+        kw["seed"] = args.seed
+    if args.mode in ("multi", "all"):
+        train_multi(args.total_timesteps, args.num_envs,
+                    num_updates=args.num_updates, **kw)
+    if args.mode in ("single", "all"):
+        train_single(args.total_timesteps, args.num_envs,
+                     num_updates=args.num_updates, **kw)
+    if args.mode in ("sb3", "all"):
+        train_single_baseline(args.total_timesteps, **kw)
+
+
+if __name__ == "__main__":
+    main()
