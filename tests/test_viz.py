@@ -1,0 +1,72 @@
+"""Visualization subsystem: trajectory recording, mp4 rendering, grid composition,
+learning-curve plot — all headless."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from self_play_racing_tpu.envs import multi as menv
+from self_play_racing_tpu.envs import single as senv
+from self_play_racing_tpu.envs import track as trk
+from self_play_racing_tpu.models import actor_critic as net
+from self_play_racing_tpu.utils import viz
+
+cv2 = pytest.importorskip("cv2")
+pytest.importorskip("pygame")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cps = [trk.gen_random_track(11, 55, 12, 0.3, 0.5, seed=4)]
+    geometry = trk.build_track_geometry(cps[0], 8.0)
+    pool = trk.make_track_pool(cps, [8.0])
+    track = trk.gather_tracks(pool, [0])
+    return cps, geometry, track
+
+
+def test_record_and_render_single(setup, tmp_path):
+    cps, geometry, track = setup
+    env_cfg = senv.RacingConfig(num_sensors=11)
+    params = net.init_params(jax.random.key(0), env_cfg.obs_dim, 2)
+    log_std = jnp.full((2,), -0.7, jnp.float32)
+    traj = viz.record_trajectory_single(params, log_std, env_cfg, track,
+                                        jax.random.key(1), max_steps=120)
+    assert 1 <= len(traj["x"]) <= 120
+    out = str(tmp_path / "single.mp4")
+    frames = viz.render_video(geometry, traj, out, label="test", frame_skip=4)
+    assert frames > 0 and os.path.getsize(out) > 1000
+    cap = cv2.VideoCapture(out)
+    ok, frame = cap.read()
+    assert ok and frame.shape == (600, 800, 3)
+    assert frame.sum() > 0  # not a black frame
+    cap.release()
+
+
+def test_record_and_render_multi_plus_grid(setup, tmp_path):
+    cps, geometry, track = setup
+    env_cfg = menv.MultiRacingConfig(num_agents=2, num_sensors=11)
+    params = net.init_params(jax.random.key(0), env_cfg.obs_dim, 2)
+    log_std = jnp.full((2,), -0.7, jnp.float32)
+    traj = viz.record_trajectory_multi(params, log_std, env_cfg, track,
+                                       jax.random.key(1), max_steps=100)
+    assert traj["x"].shape[1] == 2
+    v1 = str(tmp_path / "multi.mp4")
+    viz.render_video(geometry, traj, v1, label="multi", frame_skip=4)
+
+    grid = str(tmp_path / "grid.mp4")
+    n = viz.visualization_grid([v1, v1, v1, v1], ["a", "b", "c", "d"], grid)
+    assert n > 0 and os.path.getsize(grid) > 1000
+
+
+def test_eval_training_plot(tmp_path):
+    for name in ("a", "b"):
+        with open(tmp_path / f"{name}.json", "w") as f:
+            json.dump({"steps": list(range(0, 1000, 100)),
+                       "rewards": list(np.random.randn(10))}, f)
+    out = str(tmp_path / "curves.png")
+    viz.eval_training({"A": str(tmp_path / "a.json"), "B": str(tmp_path / "b.json")}, out)
+    assert os.path.getsize(out) > 1000
