@@ -212,17 +212,13 @@ def transition(cfg: MultiRacingConfig, track: TrackArrays, state: MultiState, ac
         state.x, state.y, state.angle, state.vx, state.vy, state.crashed,
         steering, throttle, cfg.dt, cfg.car,
     )
-    new_progress = jnp.where(
-        state.crashed, state.progress,
-        geo.track_progress(nx, ny, track.wp_x[:, None, :], track.wp_y[:, None, :],
-                           track.n_wp[:, None]),
-    )
     ccx, ccy = geo.car_corners(nx, ny, nang, cfg.car.length / 2, cfg.car.width / 2)
-    hit_wall = geo.centerline_collision(
-        ccx, ccy, track.wp_x[:, None, :], track.wp_y[:, None, :],
+    raw_progress, hit_wall = geo.progress_and_collision(
+        nx, ny, ccx, ccy, track.wp_x[:, None, :], track.wp_y[:, None, :],
         track.nrm_x[:, None, :], track.nrm_y[:, None, :],
-        track.track_width[:, None],
+        track.n_wp[:, None], track.track_width[:, None],
     )
+    new_progress = jnp.where(state.crashed, state.progress, raw_progress)
     crashed = state.crashed | (~state.crashed & hit_wall)
 
     # pairwise SAT collisions: sequential velocity scaling per colliding pair

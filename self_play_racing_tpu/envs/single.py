@@ -152,15 +152,14 @@ def transition(cfg: RacingConfig, track: TrackArrays, state: RacingState, action
         car.x, car.y, car.angle, car.vx, car.vy, car.crashed,
         steering, throttle, cfg.dt, cfg.car,
     )
-    # progress + wall collision, frozen once crashed (car.py:51-52, 79-80)
-    new_progress = jnp.where(
-        car.crashed, car.progress,
-        geo.track_progress(nx, ny, track.wp_x, track.wp_y, track.n_wp),
-    )
+    # progress + wall collision, frozen once crashed (car.py:51-52, 79-80);
+    # both track queries share one fused pass over the waypoint arrays
     cx, cy = geo.car_corners(nx, ny, nang, cfg.car.length / 2, cfg.car.width / 2)
-    hit_wall = geo.centerline_collision(
-        cx, cy, track.wp_x, track.wp_y, track.nrm_x, track.nrm_y, track.track_width
+    raw_progress, hit_wall = geo.progress_and_collision(
+        nx, ny, cx, cy, track.wp_x, track.wp_y, track.nrm_x, track.nrm_y,
+        track.n_wp, track.track_width,
     )
+    new_progress = jnp.where(car.crashed, car.progress, raw_progress)
     crashed = car.crashed | (~car.crashed & hit_wall)
 
     steps = state.steps + 1

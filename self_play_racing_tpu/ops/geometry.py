@@ -16,6 +16,7 @@ All functions broadcast over arbitrary leading batch dims.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # Matches the parallel-segment epsilon in track.py:182 / multi_track.py:35.
@@ -104,15 +105,44 @@ def centerline_collision(cx, cy, wp_x, wp_y, nrm_x, nrm_y, track_width):
 
     cx, cy: corners, shape ``B + (C,)``. wp/nrm: shape ``B + (W,)``.
     track_width: shape ``B`` or scalar. Returns bool, shape ``B``.
+
+    TPU note: implemented as argmin + one-hot masked reduction rather than
+    take_along_axis — dynamic gathers are an order of magnitude slower than a second
+    fused elementwise pass over the waypoint axis on TPU.
     """
-    idx = nearest_waypoint(cx, cy, wp_x[..., None, :], wp_y[..., None, :])  # B+(C,)
-    nwx = jnp.take_along_axis(wp_x, idx, axis=-1)
-    nwy = jnp.take_along_axis(wp_y, idx, axis=-1)
-    nnx = jnp.take_along_axis(nrm_x, idx, axis=-1)
-    nny = jnp.take_along_axis(nrm_y, idx, axis=-1)
-    dist = jnp.abs((cx - nwx) * nnx + (cy - nwy) * nny)
+    dx = cx[..., :, None] - wp_x[..., None, :]          # B + (C, W)
+    dy = cy[..., :, None] - wp_y[..., None, :]
+    d2 = dx * dx + dy * dy
+    idx = jnp.argmin(d2, axis=-1)                        # B + (C,)
+    w = wp_x.shape[-1]
+    sel = jax.lax.broadcasted_iota(jnp.int32, (w,), 0) == idx[..., None]
+    proj = dx * nrm_x[..., None, :] + dy * nrm_y[..., None, :]
+    dist = jnp.abs(jnp.sum(jnp.where(sel, proj, 0.0), axis=-1))
     tw = jnp.asarray(track_width)
     return jnp.any(dist > tw[..., None], axis=-1)
+
+
+def progress_and_collision(x, y, cx, cy, wp_x, wp_y, nrm_x, nrm_y, n_wp, track_width):
+    """Fused per-step track queries: progress of the car center + corner collision,
+    sharing one pass over the waypoint arrays (track.py:159-161 + 163-171).
+
+    x, y: centers ``B``; cx, cy: corners ``B + (C,)``; wp/nrm ``B + (W,)``.
+    Returns (progress ``B``, crashed ``B``).
+    """
+    qx = jnp.concatenate([x[..., None], cx], axis=-1)    # B + (1+C,)
+    qy = jnp.concatenate([y[..., None], cy], axis=-1)
+    dx = qx[..., :, None] - wp_x[..., None, :]           # B + (1+C, W)
+    dy = qy[..., :, None] - wp_y[..., None, :]
+    d2 = dx * dx + dy * dy
+    idx = jnp.argmin(d2, axis=-1)                        # B + (1+C,)
+    progress = idx[..., 0].astype(wp_x.dtype) / jnp.asarray(n_wp, wp_x.dtype)
+    w = wp_x.shape[-1]
+    sel = jax.lax.broadcasted_iota(jnp.int32, (w,), 0) == idx[..., 1:, None]
+    proj = (dx[..., 1:, :] * nrm_x[..., None, :]
+            + dy[..., 1:, :] * nrm_y[..., None, :])
+    dist = jnp.abs(jnp.sum(jnp.where(sel, proj, 0.0), axis=-1))
+    tw = jnp.asarray(track_width)
+    return progress, jnp.any(dist > tw[..., None], axis=-1)
 
 
 def rectangles_intersect(ax, ay, bx, by):
