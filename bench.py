@@ -20,6 +20,11 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compilation cache: bench reruns (and driver runs) skip the slow
+    # first compile over the TPU tunnel
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from self_play_racing_tpu.agent import ppo as jppo
@@ -85,6 +90,24 @@ def main():
     steps = num_envs * scan_steps * reps
     sps = steps / dt
     print(f"{steps:,} env-steps in {dt:.3f}s", file=sys.stderr)
+
+    # secondary: full PPO training throughput (rollout + GAE + 10x16 minibatch update)
+    from self_play_racing_tpu.agent.trainer import PPOTrainer
+    from self_play_racing_tpu.configs import base_config
+
+    cfg = base_config(num_envs=num_envs, num_steps=scan_steps,
+                      total_timesteps=num_envs * scan_steps * 100)
+    trainer = PPOTrainer(cfg, env_cfg, track)
+    trainer.runner, m = trainer.update_step(trainer.runner, trainer.aux)
+    float(m["mean_reward"])
+    t0 = time.perf_counter()
+    for _ in range(3):
+        trainer.runner, m = trainer.update_step(trainer.runner, trainer.aux)
+        float(m["mean_reward"])
+    tdt = (time.perf_counter() - t0) / 3
+    print(f"PPO training: {tdt*1e3:.0f} ms/update = "
+          f"{cfg.batch_size/tdt/1e6:.2f} M env-steps/s = {1/tdt:.2f} updates/s",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "env_steps_per_s",
         "value": round(sps),

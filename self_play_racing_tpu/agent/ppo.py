@@ -34,6 +34,7 @@ from ..configs import PPOConfig
 from ..envs import vector
 from ..models import actor_critic as net
 from ..ops.gae import compute_gae
+from ..ops.prng import epoch_permutation
 
 
 class EnvHooks(NamedTuple):
@@ -160,15 +161,27 @@ def run_ppo_update(cfg: PPOConfig, opt, params, opt_state, log_std, lr,
     the whole remaining update is aborted, exactly like the reference's ``return``.
     """
     b = cfg.batch_size
+    # shuffle granularity: permute contiguous blocks (DMA-friendly gather) when the
+    # shapes allow it, else fall back to per-sample permutation
+    block = cfg.shuffle_block_size
+    if block <= 1 or b % block != 0 or cfg.minibatch_size % block != 0:
+        block = 1
+    n_units = b // block
 
     def epoch_body(carry, ekey):
         params, opt_state, stop = carry
-        perm = jax.random.permutation(ekey, b)
-        mb_idx = perm.reshape(cfg.num_minibatches, cfg.minibatch_size)
+        perm = epoch_permutation(ekey, n_units)
+        # one whole-batch shuffle per epoch, then scan over contiguous minibatch
+        # slices — per-minibatch random-index gathers are the slow path on TPU
+        shuffled = Batch(*(
+            jnp.take(
+                x.reshape((n_units, block) + x.shape[1:]), perm, axis=0
+            ).reshape((cfg.num_minibatches, cfg.minibatch_size) + x.shape[1:])
+            for x in flat
+        ))
 
-        def mb_body(carry, idx):
+        def mb_body(carry, mb):
             params, opt_state, stop = carry
-            mb = Batch(*(x[idx] for x in flat))
             (loss, stats), grads = jax.value_and_grad(_ppo_loss, has_aux=True)(
                 params, log_std, mb, cfg
             )
@@ -186,7 +199,7 @@ def run_ppo_update(cfg: PPOConfig, opt, params, opt_state, log_std, lr,
             return (params, opt_state, stop), stats
 
         (params, opt_state, stop), stats = jax.lax.scan(
-            mb_body, (params, opt_state, stop), mb_idx
+            mb_body, (params, opt_state, stop), shuffled
         )
         return (params, opt_state, stop), stats
 

@@ -33,6 +33,12 @@ class PPOConfig:
     # system (base_config.py:21-23)
     seed: int = 1
 
+    # epoch-shuffle granularity: contiguous blocks of this many samples are permuted
+    # as units (blocks of adjacent envs at one timestep — envs are independent, so
+    # minibatch statistics stay effectively uniform). Random per-sample gathers are
+    # ~8x slower on TPU; set 1 for an exact per-sample uniform permutation.
+    shuffle_block_size: int = 64
+
     # log-std anneal endpoints (ppo.py:250-253 single; self_play_ppo.py:135-139 self-play)
     log_std_start: float = -0.5
     log_std_end: float = -1.6

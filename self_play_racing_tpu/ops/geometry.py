@@ -43,9 +43,12 @@ def raycast_walls(ox, oy, dx, dy, seg_sx, seg_sy, seg_vx, seg_vy, max_dist):
     dotp = seg_vx * v3x + seg_vy * v3y
     valid = jnp.abs(dotp) > _PARALLEL_EPS
     safe = jnp.where(valid, dotp, 1.0)
-    # t = cross(v2, v1) / dotp ; s = dot(v1, v3) / dotp  (track.py:187-193)
-    t = (seg_vx * v1y - seg_vy * v1x) / safe
-    s = (v1x * v3x + v1y * v3y) / safe
+    # t = cross(v2, v1) / dotp ; s = dot(v1, v3) / dotp  (track.py:187-193).
+    # One reciprocal + two multiplies instead of two divides — the divide is the
+    # most expensive VPU op in this kernel (within 1-2 ulp of the direct division).
+    inv = 1.0 / safe
+    t = (seg_vx * v1y - seg_vy * v1x) * inv
+    s = (v1x * v3x + v1y * v3y) * inv
     hit = valid & (t >= 0.0) & (s >= 0.0) & (s <= 1.0)
     tmin = jnp.min(jnp.where(hit, t, jnp.inf), axis=-1)
     return jnp.where(jnp.isinf(tmin), jnp.asarray(max_dist, tmin.dtype), tmin)
