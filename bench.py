@@ -78,13 +78,13 @@ def main():
 
     t0 = time.perf_counter()
     vstate, obs, key, rsum = rollout_jit(track, params, vstate, obs, key)
-    jax.block_until_ready(rsum)
+    float(rsum)  # host transfer: the only reliable sync over the TPU tunnel
     print(f"compile + first run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
     for _ in range(reps):
         vstate, obs, key, rsum = rollout_jit(track, params, vstate, obs, key)
-    jax.block_until_ready(rsum)
+    float(rsum)
     dt = time.perf_counter() - t0
 
     steps = num_envs * scan_steps * reps
