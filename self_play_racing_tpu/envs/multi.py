@@ -147,6 +147,7 @@ def observe(cfg: MultiRacingConfig, track: TrackArrays, state: MultiState) -> jn
         track.seg_sx[:, None, None, :], track.seg_sy[:, None, None, :],
         track.seg_vx[:, None, None, :], track.seg_vy[:, None, None, :],
         cfg.max_sensor_range,
+        seg_c=track.seg_c[:, None, None, :],
     )
     # cars: every ray sees every car's rectangle; cars whose center is within 0.5 of
     # the ray origin are skipped (self-exclusion approximation, multi_track.py:12-14)

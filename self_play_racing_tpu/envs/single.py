@@ -120,6 +120,7 @@ def observe(cfg: RacingConfig, track: TrackArrays, state: RacingState) -> jnp.nd
         track.seg_sx[:, None, :], track.seg_sy[:, None, :],
         track.seg_vx[:, None, :], track.seg_vy[:, None, :],
         cfg.max_sensor_range,
+        seg_c=track.seg_c[:, None, :],
     )                                                                # [N, R]
     rays = dist.astype(jnp.float32) / jnp.float32(cfg.max_sensor_range)
 

@@ -147,6 +147,10 @@ class TrackArrays:
     seg_sy: jnp.ndarray
     seg_vx: jnp.ndarray
     seg_vy: jnp.ndarray
+    # ray-independent half of cross(v2, v1): c = v2y*sx - v2x*sy, so the raycast's
+    # t-numerator becomes oy*v2x - ox*v2y + c — an [envs, segments] term instead of
+    # [envs, rays, segments]
+    seg_c: jnp.ndarray
     n_wp: jnp.ndarray          # int32 [K] true waypoint counts
     track_width: jnp.ndarray   # [K]
     max_track_distance: jnp.ndarray  # [K]
@@ -181,7 +185,7 @@ def make_track_pool(control_points_list, track_widths, dtype=jnp.float32, pad_mu
     geoms = [build_track_geometry(cp, w) for cp, w in zip(control_points_list, track_widths)]
 
     w_pad = _round_up(max(g["n_wp"] for g in geoms), pad_multiple)
-    s_pad = 2 * w_pad
+    s_pad = _round_up(2 * max(g["n_wp"] for g in geoms), pad_multiple)
 
     def pad_wp(arr, fill):
         out = np.full((w_pad,), fill, dtype=np.float64)
@@ -202,6 +206,11 @@ def make_track_pool(control_points_list, track_widths, dtype=jnp.float32, pad_mu
         "seg_sy": np.stack([pad_seg(g["seg_start"][:, 1]) for g in geoms]),
         "seg_vx": np.stack([pad_seg(g["seg_vec"][:, 0]) for g in geoms]),
         "seg_vy": np.stack([pad_seg(g["seg_vec"][:, 1]) for g in geoms]),
+        "seg_c": np.stack([
+            pad_seg(g["seg_vec"][:, 1] * g["seg_start"][:, 0]
+                    - g["seg_vec"][:, 0] * g["seg_start"][:, 1])
+            for g in geoms
+        ]),
         "track_width": np.array([g["track_width"] for g in geoms]),
         "max_track_distance": np.array([g["max_track_distance"] for g in geoms]),
         "start_x": np.array([g["start_x"] for g in geoms]),

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 _PARALLEL_EPS = 1e-10
 
 
-def raycast_walls(ox, oy, dx, dy, seg_sx, seg_sy, seg_vx, seg_vy, max_dist):
+def raycast_walls(ox, oy, dx, dy, seg_sx, seg_sy, seg_vx, seg_vy, max_dist,
+                  seg_c=None):
     """Min hit distance of rays against boundary segments.
 
     ox, oy, dx, dy: ray origins/directions, shape ``B`` (any batch shape).
@@ -35,20 +36,21 @@ def raycast_walls(ox, oy, dx, dy, seg_sx, seg_sy, seg_vx, seg_vy, max_dist):
     ``max_dist`` — a hit farther than max_dist is still returned as-is. Only the no-hit
     case returns max_dist.
     """
-    v1x = ox[..., None] - seg_sx
-    v1y = oy[..., None] - seg_sy
-    # v3 = perpendicular of ray dir: (-dy, dx)  (track.py:178)
-    v3x = -dy[..., None]
-    v3y = dx[..., None]
-    dotp = seg_vx * v3x + seg_vy * v3y
+    # Algebraically restructured from track.py:176-193 to minimize [rays, segments]
+    # work (identical math up to reassociation, ~1 ulp):
+    #   cross(v2, v1) = oy*v2x - ox*v2y + (v2y*sx - v2x*sy)   [ray-independent!]
+    #   dot(v1, v3)   = (dx*oy - dy*ox) + (dy*sx - dx*sy)
+    # plus one reciprocal + two multiplies instead of two divides.
+    if seg_c is None:
+        seg_c = seg_vy * seg_sx - seg_vx * seg_sy
+    cn = oy[..., None] * seg_vx - ox[..., None] * seg_vy + seg_c
+    dotp = seg_vy * dx[..., None] - seg_vx * dy[..., None]
+    u = dx * oy - dy * ox
+    sn = u[..., None] + dy[..., None] * seg_sx - dx[..., None] * seg_sy
     valid = jnp.abs(dotp) > _PARALLEL_EPS
-    safe = jnp.where(valid, dotp, 1.0)
-    # t = cross(v2, v1) / dotp ; s = dot(v1, v3) / dotp  (track.py:187-193).
-    # One reciprocal + two multiplies instead of two divides — the divide is the
-    # most expensive VPU op in this kernel (within 1-2 ulp of the direct division).
-    inv = 1.0 / safe
-    t = (seg_vx * v1y - seg_vy * v1x) * inv
-    s = (v1x * v3x + v1y * v3y) * inv
+    inv = 1.0 / jnp.where(valid, dotp, 1.0)
+    t = cn * inv
+    s = sn * inv
     hit = valid & (t >= 0.0) & (s >= 0.0) & (s <= 1.0)
     tmin = jnp.min(jnp.where(hit, t, jnp.inf), axis=-1)
     return jnp.where(jnp.isinf(tmin), jnp.asarray(max_dist, tmin.dtype), tmin)
