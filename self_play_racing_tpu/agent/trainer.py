@@ -23,16 +23,24 @@ from . import ppo
 
 
 def make_single_env_hooks(env_cfg: senv.RacingConfig) -> ppo.EnvHooks:
-    """EnvHooks over the single-agent env; aux = per-env TrackArrays."""
+    """EnvHooks over the single-agent env. aux is either the per-env TrackArrays or
+    a dict {"track": TrackArrays, "speed_weight": scalar} (annealed variant)."""
+
+    def track_of(aux):
+        return aux["track"] if isinstance(aux, dict) else aux
+
+    def sw_of(aux):
+        return aux.get("speed_weight") if isinstance(aux, dict) else None
 
     def reset(aux, key):
-        return senv.reset_state(env_cfg, aux)
+        return senv.reset_state(env_cfg, track_of(aux))
 
     def transition(aux, state, action, key):
-        return senv.transition(env_cfg, aux, state, action)
+        return senv.transition(env_cfg, track_of(aux), state, action,
+                               speed_weight=sw_of(aux))
 
     def observe(aux, state):
-        return senv.observe(env_cfg, aux, state)
+        return senv.observe(env_cfg, track_of(aux), state)
 
     return ppo.EnvHooks(reset=reset, transition=transition, observe=observe)
 
@@ -47,7 +55,13 @@ class PPOTrainer:
                  hooks: Optional[ppo.EnvHooks] = None, aux=None):
         self.cfg = cfg
         self.env_cfg = env_cfg
-        self.aux = aux if aux is not None else track
+        if aux is not None:
+            self.aux = aux
+        elif cfg.anneal_speed_weight:
+            self.aux = {"track": track,
+                        "speed_weight": jnp.float32(env_cfg.speed_weight)}
+        else:
+            self.aux = track
         self.hooks = hooks if hooks is not None else make_single_env_hooks(env_cfg)
         self.update_step = jax.jit(ppo.make_update_step(cfg, self.hooks, env_cfg.action_dim))
         key = jax.random.key(cfg.seed)
@@ -100,6 +114,11 @@ class PPOTrainer:
 
     def _pre_update(self):
         """Hook before each update (self-play: snapshot/opponent selection)."""
+        if self.cfg.anneal_speed_weight and isinstance(self.aux, dict) \
+                and "speed_weight" in self.aux:
+            # the reference's *intended* schedule, 8 -> 14 (ppo.py:255-258)
+            frac = max(0.0, 1.0 - int(self.runner.train.update) / self.cfg.num_updates)
+            self.aux["speed_weight"] = jnp.float32(8.0 + (1.0 - frac) * 6.0)
 
     def _post_update(self, metrics):
         """Hook after each update (self-play: periodic full checkpoints)."""

@@ -43,6 +43,12 @@ class PPOConfig:
     log_std_start: float = -0.5
     log_std_end: float = -1.6
 
+    # intended-but-inert reference feature (SURVEY quirk #2): the single-agent
+    # speed-weight anneal 8 -> 14 never reaches the env because setattr targets the
+    # statistics wrapper (ppo.py:255-258). Default False reproduces the effective
+    # constant-8.0 behavior; True enables the anneal as written.
+    anneal_speed_weight: bool = False
+
     # self-play (self_play_config.py:21-22); 0 snapshot_freq = self-play disabled
     snapshot_freq: int = 0
     pool_size: int = 0

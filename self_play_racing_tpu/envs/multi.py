@@ -49,6 +49,18 @@ class MultiRacingConfig:
     max_steps: int = 3000
     car: CarSpec = DEFAULT_CAR
 
+    # reward/response constants (multi_racing_env.py:167-196, 221-231, 257 defaults)
+    progress_scale: float = 200.0
+    speed_scale: float = 18.0
+    checkpoint_bonus: float = 25.0
+    crash_penalty: float = 160.0
+    finish_bonus: float = 100.0
+    time_bonus_base: float = 300.0
+    time_bonus_divisor: float = 15.0
+    touch_penalty: float = 5.0
+    collision_speed_scale: float = 0.92
+    winner_bonus: float = 250.0
+
     @property
     def obs_dim(self) -> int:
         return self.num_sensors + 4 + (self.num_agents - 1) * 4
@@ -226,7 +238,7 @@ def transition(cfg: MultiRacingConfig, track: TrackArrays, state: MultiState, ac
     # (multi_racing_env.py:221-231); corners are position-based so unaffected by the
     # velocity response within the step
     touch_penalty = jnp.zeros((n, a), dtype)
-    scale = jnp.asarray(0.92, dtype)
+    scale = jnp.asarray(cfg.collision_speed_scale, dtype)
     for i in range(a):
         for j in range(i + 1, a):
             hit = geo.rectangles_intersect(ccx[:, i], ccy[:, i], ccx[:, j], ccy[:, j])
@@ -234,7 +246,7 @@ def transition(cfg: MultiRacingConfig, track: TrackArrays, state: MultiState, ac
                 nvx = nvx.at[:, k].set(jnp.where(hit, nvx[:, k] * scale, nvx[:, k]))
                 nvy = nvy.at[:, k].set(jnp.where(hit, nvy[:, k] * scale, nvy[:, k]))
                 touch_penalty = touch_penalty.at[:, k].add(
-                    jnp.where(hit, jnp.asarray(-5.0, dtype), 0.0)
+                    jnp.where(hit, jnp.asarray(-cfg.touch_penalty, dtype), 0.0)
                 )
 
     steps = state.steps + 1
@@ -246,12 +258,12 @@ def transition(cfg: MultiRacingConfig, track: TrackArrays, state: MultiState, ac
     delta = jnp.where((lp > 0.9) & (p < 0.1), (1.0 - lp) + p, delta)
     delta = jnp.where((lp < 0.1) & (p > 0.9), -((1.0 - p) + lp), delta)
 
-    reward = delta * jnp.asarray(200.0, dtype)
+    reward = delta * jnp.asarray(cfg.progress_scale, dtype)
 
     speed = jnp.sqrt(nvx**2 + nvy**2)
     speed_ratio = jnp.clip(speed / jnp.asarray(cfg.car.max_speed, dtype), 0.0, 1.0)
     reward = reward + jnp.where(~crashed & (delta > 0),
-                                speed_ratio * jnp.asarray(18.0, dtype), 0.0)
+                                speed_ratio * jnp.asarray(cfg.speed_scale, dtype), 0.0)
 
     hit25 = ~state.cp25 & (p >= 0.25) & (p < 0.35)
     cp25 = state.cp25 | hit25
@@ -259,16 +271,18 @@ def transition(cfg: MultiRacingConfig, track: TrackArrays, state: MultiState, ac
     cp50 = state.cp50 | hit50
     hit75 = cp50 & ~state.cp75 & (p >= 0.75) & (p < 0.85)
     cp75 = state.cp75 | hit75
-    reward = reward + jnp.asarray(25.0, dtype) * (hit25 + hit50 + hit75).astype(dtype)
+    reward = reward + jnp.asarray(cfg.checkpoint_bonus, dtype) * (hit25 + hit50 + hit75).astype(dtype)
 
     fin_now = cp25 & cp50 & cp75 & (lp > 0.9) & (p < 0.1) & (delta > 0)
     finished = state.finished | fin_now
     finished_step = jnp.where(fin_now, steps[:, None], state.finished_step)
-    time_bonus = jnp.maximum(0.0, 300.0 - steps.astype(dtype)[:, None] / 15.0)
-    reward = reward + jnp.where(fin_now, jnp.asarray(100.0, dtype) + time_bonus, 0.0)
+    time_bonus = jnp.maximum(
+        0.0, cfg.time_bonus_base - steps.astype(dtype)[:, None] / cfg.time_bonus_divisor
+    )
+    reward = reward + jnp.where(fin_now, jnp.asarray(cfg.finish_bonus, dtype) + time_bonus, 0.0)
 
     crash_now = crashed & ~state.has_crashed
-    reward = reward - jnp.where(crash_now, jnp.asarray(160.0, dtype), 0.0)
+    reward = reward - jnp.where(crash_now, jnp.asarray(cfg.crash_penalty, dtype), 0.0)
     has_crashed = state.has_crashed | crash_now
 
     reward = reward + touch_penalty
@@ -291,7 +305,7 @@ def transition(cfg: MultiRacingConfig, track: TrackArrays, state: MultiState, ac
     place = 1 + jnp.sum(beats, axis=-1).astype(jnp.int32)  # [N, A]
     placement = jnp.where(done_all[:, None], place, 0)
     reward = reward + jnp.where(done_all[:, None] & (place == 1),
-                                jnp.asarray(250.0, dtype), 0.0)
+                                jnp.asarray(cfg.winner_bonus, dtype), 0.0)
 
     new_state = MultiState(
         x=nx, y=ny, angle=nang, vx=nvx, vy=nvy,

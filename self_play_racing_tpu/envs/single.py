@@ -46,6 +46,14 @@ class RacingConfig:
     speed_weight: float = 8.0      # effective constant in the reference (quirk #2)
     car: CarSpec = DEFAULT_CAR
 
+    # reward shaping constants (racing_env.py:121-150 defaults)
+    progress_scale: float = 200.0
+    checkpoint_bonus: float = 20.0
+    crash_penalty: float = 60.0
+    finish_bonus: float = 100.0
+    time_bonus_base: float = 200.0
+    time_bonus_divisor: float = 10.0
+
     @property
     def obs_dim(self) -> int:
         return self.num_sensors + 4
@@ -171,7 +179,7 @@ def transition(cfg: RacingConfig, track: TrackArrays, state: RacingState, action
     delta = jnp.where((lp > 0.9) & (p < 0.1), (1.0 - lp) + p, delta)
     delta = jnp.where((lp < 0.1) & (p > 0.9), -((1.0 - p) + lp), delta)
 
-    reward = delta * jnp.asarray(200.0, dtype)
+    reward = delta * jnp.asarray(cfg.progress_scale, dtype)
 
     # gated checkpoints, +20 each (racing_env.py:123-135); windows are disjoint so the
     # reference's sequential ifs reduce to these chained updates
@@ -181,7 +189,7 @@ def transition(cfg: RacingConfig, track: TrackArrays, state: RacingState, action
     cp50 = state.cp50 | hit50
     hit75 = cp50 & ~state.cp75 & (p >= 0.75) & (p < 0.85)
     cp75 = state.cp75 | hit75
-    bonus20 = jnp.asarray(20.0, dtype)
+    bonus20 = jnp.asarray(cfg.checkpoint_bonus, dtype)
     reward = reward + bonus20 * (hit25 + hit50 + hit75).astype(dtype)
 
     # speed shaping while progressing (racing_env.py:137-140)
@@ -190,14 +198,16 @@ def transition(cfg: RacingConfig, track: TrackArrays, state: RacingState, action
     reward = reward + jnp.where(~crashed & (delta > 0), speed_ratio * sw, 0.0)
 
     # crash penalty (racing_env.py:142-143; terminal, so fires once per episode)
-    reward = reward - jnp.where(crashed, jnp.asarray(60.0, dtype), 0.0)
+    reward = reward - jnp.where(crashed, jnp.asarray(cfg.crash_penalty, dtype), 0.0)
 
     # lap completion (racing_env.py:145-150)
     fin_now = cp25 & cp50 & cp75 & (lp > 0.9) & (p < 0.1) & (delta > 0)
     finished = car.finished | fin_now
-    time_bonus = jnp.maximum(0.0, 200.0 - steps.astype(dtype) / 10.0)
+    time_bonus = jnp.maximum(
+        0.0, cfg.time_bonus_base - steps.astype(dtype) / cfg.time_bonus_divisor
+    )
     # two separate adds, matching the reference's += ordering exactly
-    reward = reward + jnp.where(fin_now, jnp.asarray(100.0, dtype), 0.0)
+    reward = reward + jnp.where(fin_now, jnp.asarray(cfg.finish_bonus, dtype), 0.0)
     reward = reward + jnp.where(fin_now, time_bonus, 0.0)
 
     terminated = crashed | finished
