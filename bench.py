@@ -97,13 +97,15 @@ def main():
 
     cfg = base_config(num_envs=num_envs, num_steps=scan_steps,
                       total_timesteps=num_envs * scan_steps * 100)
+    from self_play_racing_tpu.agent.ppo import unpack_metrics
+
     trainer = PPOTrainer(cfg, env_cfg, track)
     trainer.runner, m = trainer.update_step(trainer.runner, trainer.aux)
-    float(m["mean_reward"])
+    unpack_metrics(m)
     t0 = time.perf_counter()
     for _ in range(3):
         trainer.runner, m = trainer.update_step(trainer.runner, trainer.aux)
-        float(m["mean_reward"])
+        unpack_metrics(m)
     tdt = (time.perf_counter() - t0) / 3
     print(f"PPO training: {tdt*1e3:.0f} ms/update = "
           f"{cfg.batch_size/tdt/1e6:.2f} M env-steps/s = {1/tdt:.2f} updates/s",

@@ -315,6 +315,23 @@ def make_update_step(cfg: PPOConfig, hooks: EnvHooks, action_dim: int = 2):
             "entropy": ustats["entropy"][-1, -1],
             "mean_reward": rewards.mean(),
         }
-        return new_runner, metrics
+        # pack every metric into ONE f32 vector: the host reads a single buffer per
+        # update instead of ~17 scalars x per-transfer tunnel latency
+        assert tuple(metrics.keys()) == METRIC_NAMES
+        packed = jnp.stack([jnp.asarray(v, jnp.float32) for v in metrics.values()])
+        return new_runner, packed
 
     return update_step
+
+
+METRIC_NAMES = (
+    "update", "global_step", "lr", "log_std", "episodes", "mean_ep_return",
+    "mean_ep_length", "kl_stopped", "minibatches_applied", "approx_kl",
+    "pg_loss", "v_loss", "entropy", "mean_reward",
+)
+
+
+def unpack_metrics(packed):
+    """Packed f32 metric vector -> {name: float} with one host transfer."""
+    vals = __import__("numpy").asarray(packed)
+    return dict(zip(METRIC_NAMES, vals))

@@ -88,7 +88,7 @@ class PPOTrainer:
         for _ in range(total):
             self._pre_update()
             self.runner, metrics = self.update_step(self.runner, self.aux)
-            m = {k: np.asarray(v) for k, v in metrics.items()}
+            m = ppo.unpack_metrics(metrics)
             update = int(m["update"]) + 1
             gstep = int(m["global_step"])
             if int(m["episodes"]) > 0:

@@ -22,6 +22,7 @@ import numpy as np
 
 import jax
 
+from ..agent.ppo import unpack_metrics
 from ..agent.trainer import PPOTrainer
 from ..configs import base_config
 from ..envs import single as senv
@@ -45,11 +46,11 @@ def measure(num_devices: int, envs_per_device: int = 512, num_steps: int = 128,
     runner, aux = pmesh.shard_runner(trainer.runner, trainer.aux, m, num_envs)
 
     runner, metrics = trainer.update_step(runner, aux)
-    float(metrics["mean_reward"])  # forced sync (block_until_ready lies over tunnels)
+    unpack_metrics(metrics)  # forced sync (block_until_ready lies over tunnels)
     t0 = time.perf_counter()
     for _ in range(reps):
         runner, metrics = trainer.update_step(runner, aux)
-        float(metrics["mean_reward"])
+        unpack_metrics(metrics)
     dt = (time.perf_counter() - t0) / reps
     return {
         "devices": num_devices,

@@ -11,6 +11,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from self_play_racing_tpu.agent.ppo import unpack_metrics
 from self_play_racing_tpu.agent.trainer import PPOTrainer
 from self_play_racing_tpu.configs import base_config
 from self_play_racing_tpu.envs import single as senv
@@ -37,8 +38,9 @@ def test_sharded_update_matches_unsharded(trainer):
     sh = runner_s.obs.sharding
     assert sh.num_devices == 8
 
-    out_plain, m_plain = trainer.update_step(trainer.runner, trainer.aux)
-    out_shard, m_shard = trainer.update_step(runner_s, aux_s)
+    out_plain, mp = trainer.update_step(trainer.runner, trainer.aux)
+    out_shard, ms = trainer.update_step(runner_s, aux_s)
+    m_plain, m_shard = unpack_metrics(mp), unpack_metrics(ms)
 
     for a, b in zip(jax.tree.leaves(out_plain.train.params),
                     jax.tree.leaves(out_shard.train.params)):
@@ -53,7 +55,7 @@ def test_carried_sharded_state_reenters(trainer):
     runner_s, aux_s = pmesh.shard_runner(trainer.runner, trainer.aux, mesh, 16)
     r1, _ = trainer.update_step(runner_s, aux_s)
     r2, m = trainer.update_step(r1, aux_s)
-    assert int(m["update"]) == 1
+    assert int(unpack_metrics(m)["update"]) == 1
     jax.block_until_ready(r2.train.params)
 
 
