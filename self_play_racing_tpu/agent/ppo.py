@@ -31,6 +31,7 @@ import optax
 from flax import struct
 
 from ..configs import PPOConfig
+from ..envs import normalize as obsnorm
 from ..envs import vector
 from ..models import actor_critic as net
 from ..ops.gae import compute_gae
@@ -65,6 +66,7 @@ class RunnerState:
     obs: jnp.ndarray    # [N, obs_dim] float32 — next_obs in reference terms
     done: jnp.ndarray   # [N] bool — next_done
     key: jnp.ndarray
+    obs_norm: obsnorm.ObsNormState
 
 
 def make_optimizer(cfg: PPOConfig):
@@ -77,7 +79,7 @@ def make_optimizer(cfg: PPOConfig):
 
 
 def init_train_state(key, cfg: PPOConfig, obs_dim: int, action_dim: int) -> TrainState:
-    params = net.init_params(key, obs_dim, action_dim)
+    params = net.init_params(key, obs_dim, action_dim, hidden=cfg.hidden)
     opt_state = make_optimizer(cfg).init(params)
     return TrainState(
         params=params,
@@ -100,6 +102,7 @@ def init_runner(key, cfg: PPOConfig, hooks: EnvHooks, aux, obs_dim: int,
         obs=obs.astype(jnp.float32),
         done=jnp.zeros((cfg.num_envs,), bool),
         key=key,
+        obs_norm=obsnorm.init(obs_dim),
     )
 
 
@@ -218,9 +221,14 @@ def make_update_step(cfg: PPOConfig, hooks: EnvHooks, action_dim: int = 2):
         params = runner.train.params
 
         def one_step(carry, _):
-            vec, obs, done, key = carry
+            vec, obs, done, key, norm = carry
             key, akey = jax.random.split(key)
-            action, logprob, value = net.sample_action(params, log_std, obs, akey)
+            if cfg.normalize_obs:
+                norm = obsnorm.update(norm, obs)
+                policy_obs = obsnorm.apply(norm, obs)
+            else:
+                policy_obs = obs
+            action, logprob, value = net.sample_action(params, log_std, policy_obs, akey)
             vec, next_obs, reward, next_done, term, trunc, info, rec = vector.step(
                 vec, action,
                 lambda s, a, k: hooks.transition(aux, s, a, k),
@@ -228,7 +236,7 @@ def make_update_step(cfg: PPOConfig, hooks: EnvHooks, action_dim: int = 2):
                 lambda k: hooks.reset(aux, k),
             )
             out = Batch(
-                obs=obs, actions=action, logprobs=logprob,
+                obs=policy_obs, actions=action, logprobs=logprob,
                 advantages=jnp.zeros_like(logprob),  # filled by GAE
                 returns=jnp.zeros_like(logprob),
                 values=value,
@@ -240,15 +248,16 @@ def make_update_step(cfg: PPOConfig, hooks: EnvHooks, action_dim: int = 2):
                 "ep_length_sum": jnp.sum(jnp.where(rec["mask"], rec["length"], 0)),
                 "ep_count": jnp.sum(rec["mask"].astype(jnp.int32)),
             }
-            return (vec, next_obs.astype(jnp.float32), next_done, key), (out, step_stats)
+            return (vec, next_obs.astype(jnp.float32), next_done, key, norm), (
+                out, step_stats)
 
-        (vec, next_obs, next_done, key), (traj, sstats) = jax.lax.scan(
+        (vec, next_obs, next_done, key, norm), (traj, sstats) = jax.lax.scan(
             one_step,
-            (runner.vec, runner.obs, runner.done, runner.key),
+            (runner.vec, runner.obs, runner.done, runner.key, runner.obs_norm),
             None,
             length=cfg.num_steps,
         )
-        return vec, next_obs, next_done, key, traj, sstats
+        return vec, next_obs, next_done, key, norm, traj, sstats
 
     def update_step(runner: RunnerState, aux):
         frac, lr, log_std = anneal_fractions(cfg, runner.train.update, action_dim)
@@ -264,14 +273,16 @@ def make_update_step(cfg: PPOConfig, hooks: EnvHooks, action_dim: int = 2):
                 key=key,
             )
 
-        vec, next_obs, next_done, key, traj, sstats = rollout_phase(
+        vec, next_obs, next_done, key, norm, traj, sstats = rollout_phase(
             runner, aux, log_std.astype(jnp.float32)
         )
 
         rewards = sstats["reward"]                  # [T, N]
         traj_done = sstats["done_entering"]         # [T, N] done entering each step
         values = traj.values
-        next_value = net.critic_value(runner.train.params, next_obs)
+        next_policy_obs = (obsnorm.apply(norm, next_obs) if cfg.normalize_obs
+                           else next_obs)
+        next_value = net.critic_value(runner.train.params, next_policy_obs)
         advantages, returns = compute_gae(
             rewards, traj_done, values, next_value, next_done,
             cfg.gamma, cfg.gae_lambda,
@@ -290,7 +301,8 @@ def make_update_step(cfg: PPOConfig, hooks: EnvHooks, action_dim: int = 2):
             update=runner.train.update + 1,
             global_step=runner.train.global_step + cfg.batch_size,
         )
-        new_runner = RunnerState(train=train, vec=vec, obs=next_obs, done=next_done, key=key)
+        new_runner = RunnerState(train=train, vec=vec, obs=next_obs, done=next_done,
+                                 key=key, obs_norm=norm)
 
         ep_count = jnp.sum(sstats["ep_count"])
         metrics = {

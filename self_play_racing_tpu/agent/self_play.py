@@ -66,7 +66,8 @@ class SelfPlayTrainer(PPOTrainer):
         self.checkpoint_dir: Optional[str] = None
 
         # stacked pool, zero-initialized; masked out via pool_count until filled
-        proto = net.init_params(jax.random.key(0), env_cfg.obs_dim, env_cfg.action_dim)
+        proto = net.init_params(jax.random.key(0), env_cfg.obs_dim,
+                                env_cfg.action_dim, hidden=cfg.hidden)
         pool_params = jax.tree.map(
             lambda x: jnp.zeros((cfg.pool_size,) + x.shape, x.dtype), proto
         )

@@ -33,6 +33,13 @@ class PPOConfig:
     # system (base_config.py:21-23)
     seed: int = 1
 
+    # policy/value tower widths (reference fixed at 64-64, ppo.py:19-37)
+    hidden: tuple = (64, 64)
+
+    # running observation normalization (the reference ships this disabled,
+    # ppo.py:89-90); policy inputs become (obs - mean)/std clipped to +-10
+    normalize_obs: bool = False
+
     # epoch-shuffle granularity: contiguous blocks of this many samples are permuted
     # as units (blocks of adjacent envs at one timestep — envs are independent, so
     # minibatch statistics stay effectively uniform). Random per-sample gathers are

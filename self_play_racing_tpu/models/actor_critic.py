@@ -34,9 +34,16 @@ def _orthogonal(key, shape, gain, dtype):
     return jax.nn.initializers.orthogonal(scale=gain)(key, shape, dtype)
 
 
-def init_params(key, obs_dim: int, action_dim: int, dtype=jnp.float32):
-    """Orthogonally initialized parameter pytree (ppo.py:19-37,58-62)."""
-    ks = jax.random.split(key, 6)
+def init_params(key, obs_dim: int, action_dim: int, dtype=jnp.float32,
+                hidden=(HIDDEN, HIDDEN)):
+    """Orthogonally initialized parameter pytree (ppo.py:19-37,58-62).
+
+    ``hidden`` generalizes the reference's fixed 64-64 towers to arbitrary depth /
+    width (the default reproduces the reference architecture exactly).
+    """
+    hidden = tuple(hidden)
+    n_layers = len(hidden) + 1
+    ks = jax.random.split(key, 2 * n_layers)
     sq2 = float(np.sqrt(2.0))
 
     def layer(k, din, dout, gain):
@@ -45,17 +52,16 @@ def init_params(key, obs_dim: int, action_dim: int, dtype=jnp.float32):
             jnp.zeros((dout,), dtype),
         )
 
+    def tower(keys, out_dim, out_gain):
+        dims = (obs_dim,) + hidden
+        layers = [layer(k, din, dout, sq2)
+                  for k, din, dout in zip(keys[:-1], dims[:-1], dims[1:])]
+        layers.append(layer(keys[-1], dims[-1], out_dim, out_gain))
+        return layers
+
     return {
-        "actor": [
-            layer(ks[0], obs_dim, HIDDEN, sq2),
-            layer(ks[1], HIDDEN, HIDDEN, sq2),
-            layer(ks[2], HIDDEN, action_dim, 0.01),
-        ],
-        "critic": [
-            layer(ks[3], obs_dim, HIDDEN, sq2),
-            layer(ks[4], HIDDEN, HIDDEN, sq2),
-            layer(ks[5], HIDDEN, 1, 1.0),
-        ],
+        "actor": tower(ks[:n_layers], action_dim, 0.01),
+        "critic": tower(ks[n_layers:], 1, 1.0),
     }
 
 
