@@ -125,12 +125,15 @@ class PPOTrainer:
 
     def save(self, path: str):
         """Save policy params + current log_std (reference PPO.save, ppo.py:289-290)."""
+        from ..utils.checkpoint import _to_host
+
         flat, treedef = jax.tree.flatten(self.runner.train.params)
+        host = _to_host(flat + [self.log_std])
         np.savez(
             path,
             treedef=str(treedef),
-            log_std=np.asarray(self.log_std),
-            **{f"p{i}": np.asarray(x) for i, x in enumerate(flat)},
+            log_std=host[-1],
+            **{f"p{i}": x for i, x in enumerate(host[:-1])},
         )
 
     def load(self, path: str):

@@ -19,11 +19,42 @@ import jax
 import jax.numpy as jnp
 
 
+def _to_host(flat):
+    """Fetch a list of device arrays with ONE device->host transfer.
+
+    Per-leaf np.asarray costs one tunnel round trip each (~0.45s on the axon TPU
+    link); instead every leaf is bitcast to uint8 and concatenated on device, fetched
+    as a single buffer, and split back on the host."""
+    metas = []
+    chunks = []
+    for x in flat:
+        arr = jnp.asarray(x)
+        if jnp.issubdtype(arr.dtype, jax.dtypes.prng_key):
+            arr = jax.random.key_data(arr)
+        metas.append((arr.shape, arr.dtype))
+        flat_x = arr.reshape(-1)
+        if flat_x.dtype.itemsize > 1:
+            flat_x = jax.lax.bitcast_convert_type(flat_x, jnp.uint8).reshape(-1)
+        else:
+            flat_x = flat_x.astype(jnp.uint8)
+        chunks.append(flat_x)
+    packed = np.asarray(jnp.concatenate(chunks)) if chunks else np.zeros(0, np.uint8)
+    out = []
+    offset = 0
+    for shape, dtype in metas:
+        nbytes = int(np.prod(shape)) * np.dtype(dtype).itemsize
+        buf = packed[offset:offset + nbytes]
+        out.append(np.frombuffer(buf.tobytes(), dtype=dtype).reshape(shape))
+        offset += nbytes
+    return out
+
+
 def save_pytree(path: str, tree, meta: dict | None = None):
     """Save an arbitrary pytree of arrays + a JSON-serializable ``meta`` dict."""
     flat = jax.tree.leaves(tree)
+    host = _to_host(flat)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path, n_leaves=len(flat), **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)})
+    np.savez(path, n_leaves=len(host), **{f"leaf_{i}": x for i, x in enumerate(host)})
     if meta is not None:
         with open(path + ".meta.json", "w") as f:
             json.dump(meta, f)
