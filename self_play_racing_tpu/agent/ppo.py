@@ -22,7 +22,6 @@ Semantics preserved exactly (SURVEY §7 quirks):
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, NamedTuple
 
 import jax

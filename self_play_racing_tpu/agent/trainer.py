@@ -18,7 +18,6 @@ import jax.numpy as jnp
 from ..configs import PPOConfig
 from ..envs import single as senv
 from ..envs import track as trk
-from ..models import actor_critic as net
 from . import ppo
 
 

@@ -10,8 +10,6 @@ training should use the functional batched API directly.
 """
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 import jax

@@ -138,12 +138,6 @@ def reset_state(cfg: MultiRacingConfig, track: TrackArrays, key=None,
     )
 
 
-def _wp(track, like):
-    """Track waypoint arrays broadcast over the agent axis: [N,1,W]."""
-    return (track.wp_x[:, None, :], track.wp_y[:, None, :],
-            track.nrm_x[:, None, :], track.nrm_y[:, None, :])
-
-
 def observe(cfg: MultiRacingConfig, track: TrackArrays, state: MultiState) -> jnp.ndarray:
     """Per-agent observations, float32 [N, A, obs_dim] (multi_racing_env.py:60-105)."""
     dtype = state.x.dtype

@@ -20,8 +20,6 @@ over successful episodes only, steps-per-progress over episodes with progress > 
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 import jax
