@@ -48,14 +48,35 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put(x, sharding):
+    """Place a globally known value under a sharding, multi-host safe.
+
+    On a single-process mesh this is a plain device_put. When the mesh spans
+    processes, every process holds the same full value (the framework keeps track
+    pools / params / state construction deterministic), so each process materializes
+    the shards it addresses via make_array_from_callback. Typed PRNG keys are routed
+    through their raw data.
+    """
+    if sharding.is_fully_addressable:
+        return jax.device_put(x, sharding)
+    is_key = hasattr(x, "dtype") and jax.numpy.issubdtype(x.dtype, jax.dtypes.prng_key)
+    if is_key:
+        impl = jax.random.key_impl(x)
+        raw = np.asarray(jax.random.key_data(x))
+        placed = jax.make_array_from_callback(raw.shape, sharding, lambda idx: raw[idx])
+        return jax.random.wrap_key_data(placed, impl=impl)
+    xnp = np.asarray(x)
+    return jax.make_array_from_callback(xnp.shape, sharding, lambda idx: xnp[idx])
+
+
 def shard_by_env_axis(tree, mesh: Mesh, num_envs: int):
-    """device_put every leaf: dim0 == num_envs -> shard on 'data', else replicate."""
+    """Place every leaf: dim0 == num_envs -> shard on 'data', else replicate."""
 
     def place(x):
         ndim = getattr(x, "ndim", 0)
         if ndim >= 1 and x.shape[0] == num_envs:
-            return jax.device_put(x, data_sharding(mesh, ndim))
-        return jax.device_put(x, replicated(mesh))
+            return _put(x, data_sharding(mesh, ndim))
+        return _put(x, replicated(mesh))
 
     return jax.tree.map(place, tree)
 
@@ -63,14 +84,15 @@ def shard_by_env_axis(tree, mesh: Mesh, num_envs: int):
 def shard_runner(runner, aux, mesh: Mesh, num_envs: int):
     """Place a PPO RunnerState + aux for data-parallel execution: env-batch leaves
     sharded, train state and PRNG keys replicated."""
-    train = jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), runner.train)
+    train = jax.tree.map(lambda x: _put(x, replicated(mesh)), runner.train)
     vec = shard_by_env_axis(runner.vec, mesh, num_envs)
     runner = runner.replace(
         train=train,
         vec=vec,
-        obs=jax.device_put(runner.obs, data_sharding(mesh, runner.obs.ndim)),
-        done=jax.device_put(runner.done, data_sharding(mesh, 1)),
-        key=jax.device_put(runner.key, replicated(mesh)),
+        obs=_put(runner.obs, data_sharding(mesh, runner.obs.ndim)),
+        done=_put(runner.done, data_sharding(mesh, 1)),
+        key=_put(runner.key, replicated(mesh)),
+        obs_norm=jax.tree.map(lambda x: _put(x, replicated(mesh)), runner.obs_norm),
     )
     aux = shard_by_env_axis(aux, mesh, num_envs)
     return runner, aux
