@@ -89,7 +89,8 @@ class PPOTrainer:
             self.runner, metrics = self.update_step(self.runner, self.aux)
             m = ppo.unpack_metrics(metrics)
             update = int(m["update"]) + 1
-            gstep = int(m["global_step"])
+            # derived on host: the packed f32 copy loses exactness past 2^24 steps
+            gstep = update * cfg.batch_size
             if int(m["episodes"]) > 0:
                 self.training_info["steps"].append(gstep)
                 self.training_info["rewards"].append(float(m["mean_ep_return"]))
