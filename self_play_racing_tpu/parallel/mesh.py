@@ -35,9 +35,22 @@ def distributed_init(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(coordinator_address, num_processes, process_id)
 
 
-def make_mesh(devices=None, axis: str = "data") -> Mesh:
+def make_mesh(devices=None, axis: str = "data", model_parallel: int = 1) -> Mesh:
+    """1-D data mesh, or a 2-D ('data', 'model') mesh when model_parallel > 1.
+
+    The 'model' axis tensor-shards the policy/value towers (useful for the wide
+    configurable towers; the reference's 64-unit MLP needs none). Env-batch leaves
+    always shard over 'data' only.
+    """
     devices = jax.devices() if devices is None else devices
-    return Mesh(np.asarray(devices), (axis,))
+    devices = np.asarray(devices)
+    if model_parallel <= 1:
+        return Mesh(devices, (axis,))
+    if devices.size % model_parallel != 0:
+        raise ValueError(
+            f"{devices.size} devices not divisible by model_parallel={model_parallel}"
+        )
+    return Mesh(devices.reshape(-1, model_parallel), (axis, "model"))
 
 
 def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
@@ -69,6 +82,39 @@ def _put(x, sharding):
     return jax.make_array_from_callback(xnp.shape, sharding, lambda idx: xnp[idx])
 
 
+def param_shardings(params, mesh: Mesh):
+    """Tensor-parallel placement for the MLP param pytree (Megatron pattern).
+
+    Each tower ``[(w, b), ...]`` alternates column-parallel / row-parallel layers:
+    even hidden layers shard their *output* features over 'model' (w: P(None,'model'),
+    b: P('model')); the following layer shards its *input* features (w: P('model',None),
+    b: P()) so XLA reduces the partial products with one psum over 'model'. Output
+    heads and any dim not divisible by the axis size stay replicated. On a 1-D mesh
+    everything replicates.
+
+    Returns a pytree of NamedShardings congruent with ``params``.
+    """
+    if "model" not in mesh.axis_names:
+        return jax.tree.map(lambda x: replicated(mesh), params)
+    m = mesh.shape["model"]
+
+    def tower(layers):
+        out = []
+        prev_out_sharded = False
+        for i, (w, b) in enumerate(layers):
+            is_head = i == len(layers) - 1
+            out_sharded = (not is_head) and (not prev_out_sharded) \
+                and w.shape[1] % m == 0
+            w_spec = P("model" if prev_out_sharded else None,
+                       "model" if out_sharded else None)
+            b_spec = P("model") if out_sharded else P()
+            out.append((NamedSharding(mesh, w_spec), NamedSharding(mesh, b_spec)))
+            prev_out_sharded = out_sharded
+        return out
+
+    return {k: tower(v) for k, v in params.items()}
+
+
 def shard_by_env_axis(tree, mesh: Mesh, num_envs: int):
     """Place every leaf: dim0 == num_envs -> shard on 'data', else replicate."""
 
@@ -81,10 +127,34 @@ def shard_by_env_axis(tree, mesh: Mesh, num_envs: int):
     return jax.tree.map(place, tree)
 
 
+def _shard_train_state(train, mesh: Mesh):
+    """Params (and the congruent Adam moment subtrees) follow param_shardings;
+    every other train-state leaf replicates."""
+    psh = param_shardings(train.params, mesh)
+    params = jax.tree.map(_put, train.params, psh)
+    param_treedef = jax.tree.structure(train.params)
+
+    def place_sub(sub):
+        if jax.tree.structure(sub) == param_treedef:
+            return jax.tree.map(_put, sub, psh)
+        return jax.tree.map(lambda x: _put(x, replicated(mesh)), sub)
+
+    opt_state = jax.tree.map(
+        place_sub, train.opt_state,
+        is_leaf=lambda s: jax.tree.structure(s) == param_treedef,
+    )
+    rest = jax.tree.map(
+        lambda x: _put(x, replicated(mesh)),
+        train.replace(params=None, opt_state=None),
+    )
+    return rest.replace(params=params, opt_state=opt_state)
+
+
 def shard_runner(runner, aux, mesh: Mesh, num_envs: int):
-    """Place a PPO RunnerState + aux for data-parallel execution: env-batch leaves
-    sharded, train state and PRNG keys replicated."""
-    train = jax.tree.map(lambda x: _put(x, replicated(mesh)), runner.train)
+    """Place a PPO RunnerState + aux for distributed execution: env-batch leaves
+    sharded over 'data', train state tensor-sharded over 'model' when present
+    (replicated otherwise), PRNG keys replicated."""
+    train = _shard_train_state(runner.train, mesh)
     vec = shard_by_env_axis(runner.vec, mesh, num_envs)
     runner = runner.replace(
         train=train,

@@ -59,6 +59,44 @@ def test_carried_sharded_state_reenters(trainer):
     jax.block_until_ready(r2.train.params)
 
 
+def test_tensor_parallel_update_matches_unsharded():
+    """dp x tp 2-D mesh: wide towers tensor-sharded over 'model', env batch over
+    'data'; the update must match the single-device run (collectives change only
+    reduction order, so tolerance instead of bit-equality)."""
+    cfg = base_config(num_envs=16, num_steps=32, num_minibatches=4, update_epochs=2,
+                      total_timesteps=16 * 32 * 4, hidden=(128, 128))
+    cps = trk.gen_tracks(4, seed=1)
+    pool = trk.make_track_pool(cps, [8.0] * 4)
+    track = trk.gather_tracks(pool, np.arange(16) % 4)
+    trainer = PPOTrainer(cfg, senv.RacingConfig(num_sensors=11), track)
+
+    mesh = pmesh.make_mesh(jax.devices()[:8], model_parallel=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    runner_s, aux_s = pmesh.shard_runner(trainer.runner, trainer.aux, mesh, 16)
+
+    # the first actor layer must actually be column-sharded over 'model'
+    w0 = runner_s.train.params["actor"][0][0]
+    specs = {d.id for d in w0.sharding.device_set}
+    assert len(specs) == 8
+    assert w0.sharding.shard_shape(w0.shape) == (w0.shape[0], w0.shape[1] // 2)
+    # Adam moments follow their params
+    mu_w0 = runner_s.train.opt_state[1].mu["actor"][0][0]
+    assert mu_w0.sharding == w0.sharding
+
+    out_plain, mp = trainer.update_step(trainer.runner, trainer.aux)
+    out_shard, ms = trainer.update_step(runner_s, aux_s)
+    for a, b in zip(jax.tree.leaves(out_plain.train.params),
+                    jax.tree.leaves(out_shard.train.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    m_plain, m_shard = unpack_metrics(mp), unpack_metrics(ms)
+    assert int(m_plain["episodes"]) == int(m_shard["episodes"])
+
+    # carried tensor-sharded state re-enters cleanly
+    r2, m2 = trainer.update_step(out_shard, aux_s)
+    assert int(unpack_metrics(m2)["update"]) == 1
+    jax.block_until_ready(r2.train.params)
+
+
 def test_dryrun_multichip_entry():
     import __graft_entry__ as g
 
