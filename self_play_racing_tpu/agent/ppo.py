@@ -48,6 +48,10 @@ class EnvHooks(NamedTuple):
     reset: Callable      # (aux, key) -> env_state  (batched)
     transition: Callable  # (aux, env_state, action, key) -> (state, rew, term, trunc, info)
     observe: Callable    # (aux, env_state) -> obs [N, obs_dim] float32
+    # optional: (aux, env_state) -> (env_state, obs). For envs that cache obs in
+    # their state (self-play), called once per vector step on the merged state so
+    # transition/reset skip their own sensing pass (see envs.vector.step).
+    refresh: Callable = None
 
 
 @struct.dataclass
@@ -93,8 +97,11 @@ def init_runner(key, cfg: PPOConfig, hooks: EnvHooks, aux, obs_dim: int,
     k_net, k_env, k_run = jax.random.split(key, 3)
     train = init_train_state(k_net, cfg, obs_dim, action_dim)
     env_state = hooks.reset(aux, k_env)
+    if hooks.refresh is not None:
+        env_state, obs = hooks.refresh(aux, env_state)
+    else:
+        obs = hooks.observe(aux, env_state)
     vec_state = vector.init(env_state, cfg.num_envs, k_run)
-    obs = hooks.observe(aux, env_state)
     return RunnerState(
         train=train,
         vec=vec_state,
@@ -239,6 +246,8 @@ def make_update_step(cfg: PPOConfig, hooks: EnvHooks, action_dim: int = 2):
                 lambda s, a, k: hooks.transition(aux, s, a, k),
                 lambda s: hooks.observe(aux, s),
                 lambda k: hooks.reset(aux, k),
+                refresh_fn=(None if hooks.refresh is None
+                            else (lambda s: hooks.refresh(aux, s))),
             )
             out = Batch(
                 obs=policy_obs, actions=action, logprobs=logprob,
@@ -271,9 +280,13 @@ def make_update_step(cfg: PPOConfig, hooks: EnvHooks, action_dim: int = 2):
             # reference self-play rebuilds all envs every update (self_play_ppo.py:46-50)
             key, k_env, k_run = jax.random.split(runner.key, 3)
             env_state = hooks.reset(aux, k_env)
+            if hooks.refresh is not None:
+                env_state, obs0 = hooks.refresh(aux, env_state)
+            else:
+                obs0 = hooks.observe(aux, env_state)
             runner = runner.replace(
                 vec=vector.init(env_state, cfg.num_envs, k_run),
-                obs=hooks.observe(aux, env_state).astype(jnp.float32),
+                obs=obs0.astype(jnp.float32),
                 done=jnp.zeros((cfg.num_envs,), bool),
                 key=key,
             )

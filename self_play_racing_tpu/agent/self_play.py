@@ -41,15 +41,20 @@ def make_selfplay_hooks(env_cfg: menv.MultiRacingConfig) -> ppo.EnvHooks:
     """EnvHooks over the self-play view; aux = {"track": ..., "opp": ...}."""
 
     def reset(aux, key):
-        return sp.reset_state(env_cfg, aux["track"], key)
+        return sp.reset_state_deferred(env_cfg, aux["track"], key)
 
     def transition(aux, state, action, key):
-        return sp.transition(env_cfg, aux["track"], aux["opp"], state, action, key)
+        return sp.transition_deferred(env_cfg, aux["track"], aux["opp"], state,
+                                      action, key)
 
     def observe(aux, state):
         return sp.observe(state)
 
-    return ppo.EnvHooks(reset=reset, transition=transition, observe=observe)
+    def refresh(aux, state):
+        return sp.refresh(env_cfg, aux["track"], state)
+
+    return ppo.EnvHooks(reset=reset, transition=transition, observe=observe,
+                        refresh=refresh)
 
 
 class SelfPlayTrainer(PPOTrainer):

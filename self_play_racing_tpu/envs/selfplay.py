@@ -97,3 +97,53 @@ def transition(cfg: multi.MultiRacingConfig, track: TrackArrays, opp,
 
 def observe(state: SelfPlayState) -> jnp.ndarray:
     return state.obs_all[:, 0]
+
+
+# ---- deferred-observe variants (the trainer hot path) ---------------------------
+#
+# ``transition`` + ``reset_state`` above each run a full multi.observe so the state
+# is always self-contained — but under vector.step's NEXT_STEP autoreset, reset_fn
+# executes every step, so the eager pair senses the track TWICE per env per step
+# (once for the stepped state, once for the fresh reset state that mostly gets
+# discarded). The deferred variants leave ``obs_all`` stale and let ``refresh``
+# compute it exactly once per step on the *merged* state. Trajectories are
+# identical (verified in tests/test_selfplay_parity.py); only the duplicated
+# sensing disappears.
+
+def reset_state_deferred(cfg: multi.MultiRacingConfig, track: TrackArrays,
+                         key) -> SelfPlayState:
+    inner = multi.reset_state(cfg, track, key)
+    n = inner.x.shape[0]
+    return SelfPlayState(
+        inner=inner,
+        obs_all=jnp.zeros((n, cfg.num_agents, cfg.obs_dim), jnp.float32),
+    )
+
+
+def transition_deferred(cfg: multi.MultiRacingConfig, track: TrackArrays, opp,
+                        state: SelfPlayState, action0, key):
+    """Like ``transition`` but skips the observe pass; pair with ``refresh``."""
+    a = cfg.num_agents
+    keys = jax.random.split(key, a - 1)
+    opp_acts = [
+        opponent_actions(cfg, opp, state.obs_all[:, seat], keys[seat - 1])
+        for seat in range(1, a)
+    ]
+    actions = jnp.stack([action0.astype(jnp.float32), *opp_acts], axis=1)  # [N, A, 2]
+
+    inner, rewards, terminated, truncated, info = multi.transition(
+        cfg, track, state.inner, actions
+    )
+    new_state = SelfPlayState(inner=inner, obs_all=state.obs_all)  # stale until refresh
+
+    done_all = terminated | truncated
+    info0 = {k: v[:, 0] for k, v in info.items()}
+    return new_state, rewards[:, 0], done_all, truncated, info0
+
+
+def refresh(cfg: multi.MultiRacingConfig, track: TrackArrays,
+            state: SelfPlayState):
+    """One observe pass over the (possibly autoreset-merged) state; returns the
+    refreshed state and agent-0's observation."""
+    obs_all = multi.observe(cfg, track, state.inner)
+    return state.replace(obs_all=obs_all), obs_all[:, 0]

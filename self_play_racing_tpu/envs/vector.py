@@ -60,6 +60,7 @@ def step(
     transition_fn: Callable,
     observe_fn: Callable,
     reset_fn: Callable,
+    refresh_fn: Callable = None,
 ):
     """One lockstep vector step with NEXT_STEP autoreset.
 
@@ -67,6 +68,10 @@ def step(
       (the key serves envs with stochastic dynamics, e.g. self-play opponent sampling)
     observe_fn(state) -> obs
     reset_fn(key) -> fresh state (batched; key is per-call, envs split internally)
+    refresh_fn(state) -> (state, obs): optional replacement for observe_fn for envs
+      that cache observations inside their state (e.g. the self-play env, whose
+      opponents act on previous-step obs). Called once on the autoreset-merged
+      state, so transition/reset can skip their own sensing pass entirely.
 
     Returns (new_vstate, obs, reward, done, episode_record) where episode_record is a
     dict with ``return``/``length``/``mask`` for episodes that finished this step
@@ -86,7 +91,10 @@ def step(
         fresh,
         stepped,
     )
-    obs = observe_fn(merged)
+    if refresh_fn is not None:
+        merged, obs = refresh_fn(merged)
+    else:
+        obs = observe_fn(merged)
 
     reward = jnp.where(do_reset, 0.0, reward).astype(reward.dtype)
     terminated = jnp.where(do_reset, False, terminated)

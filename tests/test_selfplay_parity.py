@@ -90,6 +90,71 @@ def test_selfplay_wrapper_parity_frozen_opponent():
     assert t > 20  # the comparison actually covered a meaningful horizon
 
 
+def test_deferred_observe_matches_eager():
+    """The trainer's deferred-observe path (transition_deferred + refresh via
+    vector.step) must produce identical trajectories to stepping the eager
+    transition under the same autoreset wrapper — it only removes the duplicated
+    per-step sensing of the fresh reset state."""
+    from self_play_racing_tpu.envs import vector
+
+    n = 8
+    cps = jtrack.gen_tracks(4, seed=1)
+    pool = jtrack.make_track_pool(cps, [8.0] * 4)
+    track = jtrack.gather_tracks(pool, np.arange(n) % 4)
+    cfg = menv.MultiRacingConfig(num_agents=2, num_sensors=11)
+
+    opp_params = net.init_params(jax.random.key(7), cfg.obs_dim, cfg.action_dim)
+    opp = {
+        "params": jax.tree.map(lambda x: x[None], opp_params),
+        "log_std": jnp.full((1, 2), -1.0, jnp.float32),
+        "idx": jnp.zeros((), jnp.int32),
+        "use_policy": jnp.ones((), bool),
+    }
+
+    k0 = jax.random.key(11)
+    state_e = sp.reset_state(cfg, track, k0)
+    state_d, obs_d0 = sp.refresh(cfg, track, sp.reset_state_deferred(cfg, track, k0))
+    np.testing.assert_array_equal(np.asarray(state_e.obs_all),
+                                  np.asarray(state_d.obs_all))
+
+    vs_e = vector.init(state_e, n, jax.random.key(1))
+    vs_d = vector.init(state_d, n, jax.random.key(1))
+
+    @jax.jit
+    def step_eager(vs, a):
+        return vector.step(
+            vs, a,
+            lambda s, a_, k: sp.transition(cfg, track, opp, s, a_, k),
+            lambda s: sp.observe(s),
+            lambda k: sp.reset_state(cfg, track, k),
+        )
+
+    @jax.jit
+    def step_deferred(vs, a):
+        return vector.step(
+            vs, a,
+            lambda s, a_, k: sp.transition_deferred(cfg, track, opp, s, a_, k),
+            lambda s: sp.observe(s),
+            lambda k: sp.reset_state_deferred(cfg, track, k),
+            refresh_fn=lambda s: sp.refresh(cfg, track, s),
+        )
+
+    rng = np.random.RandomState(0)
+    saw_reset = False
+    for t in range(160):
+        a = jnp.asarray(rng.uniform([-1, -1], [1, 1], (n, 2)), jnp.float32)
+        vs_e, obs_e, rew_e, done_e, *_ , rec_e = step_eager(vs_e, a)
+        vs_d, obs_d, rew_d, done_d, *_ , rec_d = step_deferred(vs_d, a)
+        # the two programs fuse differently, so allow 1-2 ulp of f32 drift
+        np.testing.assert_allclose(np.asarray(obs_e), np.asarray(obs_d),
+                                   rtol=0, atol=1e-6, err_msg=f"step {t}")
+        np.testing.assert_allclose(np.asarray(rew_e), np.asarray(rew_d),
+                                   rtol=0, atol=1e-5, err_msg=f"step {t}")
+        np.testing.assert_array_equal(np.asarray(done_e), np.asarray(done_d))
+        saw_reset = saw_reset or bool(np.asarray(done_e).any())
+    assert saw_reset  # the comparison exercised the autoreset path
+
+
 def test_selfplay_trainer_smoke(tmp_path):
     cfg = self_play_config(
         num_envs=8, num_steps=96, num_minibatches=4, update_epochs=3,
