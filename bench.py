@@ -38,7 +38,7 @@ def main():
     num_envs = 4096
     num_tracks = 16
     scan_steps = 256
-    reps = 4
+    reps = 10
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
@@ -109,6 +109,28 @@ def main():
     tdt = (time.perf_counter() - t0) / 3
     print(f"PPO training: {tdt*1e3:.0f} ms/update = "
           f"{cfg.batch_size/tdt/1e6:.2f} M env-steps/s = {1/tdt:.2f} updates/s",
+          file=sys.stderr)
+
+    # tertiary: self-play training throughput (2-agent env + frozen-opponent pool)
+    from self_play_racing_tpu.agent.self_play import SelfPlayTrainer
+    from self_play_racing_tpu.configs import self_play_config
+    from self_play_racing_tpu.envs import multi as menv
+
+    sp_cfg = self_play_config(num_envs=num_envs, num_steps=scan_steps,
+                              total_timesteps=num_envs * scan_steps * 100)
+    sp_env_cfg = menv.MultiRacingConfig(num_agents=2, num_sensors=11)
+    sp = SelfPlayTrainer(sp_cfg, sp_env_cfg, track)
+    sp.snapshot_agent()
+    sp.select_opponent()
+    sp.runner, m = sp.update_step(sp.runner, sp.aux)
+    unpack_metrics(m)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        sp.runner, m = sp.update_step(sp.runner, sp.aux)
+        unpack_metrics(m)
+    sdt = (time.perf_counter() - t0) / 3
+    print(f"Self-play training: {sdt*1e3:.0f} ms/update = "
+          f"{sp_cfg.batch_size/sdt/1e6:.2f} M env-steps/s = {1/sdt:.2f} updates/s",
           file=sys.stderr)
     print(json.dumps({
         "metric": "env_steps_per_s",
