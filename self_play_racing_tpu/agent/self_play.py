@@ -69,6 +69,7 @@ class SelfPlayTrainer(PPOTrainer):
         self.num_snapshots = 0  # total ever taken; write head = num_snapshots % P
         self._opp_rng = np.random.RandomState(cfg.seed)
         self.checkpoint_dir: Optional[str] = None
+        self._pool_count_by_update = {}  # update idx -> pool size used for it
 
         # stacked pool, zero-initialized; masked out via pool_count until filled
         proto = net.init_params(jax.random.key(0), env_cfg.obs_dim,
@@ -134,19 +135,26 @@ class SelfPlayTrainer(PPOTrainer):
     # ---- trainer hooks ---------------------------------------------------------
 
     def _pre_update(self):
-        update = int(self.runner.train.update)
+        # host-side update counter: reading runner.train.update back would stall
+        # the lagged-metrics pipeline on the in-flight update (trainer.train()).
+        update = self._host_update
         if update > 0 and update % self.snapshot_freq == 0 and \
                 self.num_snapshots * self.snapshot_freq <= update:
             self.snapshot_agent()
         self.select_opponent()
+        # the periodic full checkpoint lives here (not _post_update) so it captures
+        # exactly the post-update-N state before update N+1 is dispatched
+        if self.checkpoint_dir and update > 0 and update % 10 == 0:
+            self.save_checkpoint(
+                os.path.join(self.checkpoint_dir, f"checkpoint_update_{update}")
+            )
+        self._pool_count_by_update[update] = self.pool_count
 
     def _post_update(self, metrics):
         update = int(metrics["update"])
         if int(metrics["episodes"]) > 0:
-            self.training_info["opponent_pool_size"].append(self.pool_count)
-        if self.checkpoint_dir and update > 0 and update % 10 == 0:
-            self.save_checkpoint(
-                os.path.join(self.checkpoint_dir, f"checkpoint_update_{update}")
+            self.training_info["opponent_pool_size"].append(
+                self._pool_count_by_update.pop(update, self.pool_count)
             )
 
     # ---- checkpoint / resume (self_play_ppo.py:52-68, 154-167) ----------------
@@ -186,5 +194,13 @@ class SelfPlayTrainer(PPOTrainer):
             self.load_checkpoint(resume_from)
             if num_updates is None:
                 num_updates = self.cfg.num_updates - int(self.runner.train.update)
-        return super().train(num_updates=num_updates, log_every=log_every,
+        info = super().train(num_updates=num_updates, log_every=log_every,
                              on_update=on_update)
+        # _pre_update only runs before a *next* update, so a final update that
+        # lands on the 10-boundary checkpoints here (reference saves at end of
+        # update u, self_play_ppo.py:154-167)
+        if self.checkpoint_dir and self._host_update > 0 \
+                and self._host_update % 10 == 0:
+            self.save_checkpoint(os.path.join(
+                self.checkpoint_dir, f"checkpoint_update_{self._host_update}"))
+        return info

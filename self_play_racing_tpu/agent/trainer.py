@@ -68,6 +68,7 @@ class PPOTrainer:
             key, cfg, self.hooks, self.aux, env_cfg.obs_dim, env_cfg.action_dim
         )
         self.training_info = {"steps": [], "rewards": []}
+        self._host_update = 0  # host mirror of runner.train.update (see train())
 
     @property
     def params(self):
@@ -80,14 +81,23 @@ class PPOTrainer:
 
     def train(self, num_updates: Optional[int] = None, log_every: int = 1,
               on_update=None):
-        """Run the update loop; mirrors reference logging (ppo.py:270-280)."""
+        """Run the update loop; mirrors reference logging (ppo.py:270-280).
+
+        The metrics of update N are consumed (host transfer + logging + the
+        ``_post_update``/``on_update`` hooks) only *after* update N+1 has been
+        dispatched, so the device never idles waiting for the host: the per-update
+        device->host metric read (5-50 ms over a TPU tunnel) overlaps the next
+        update's execution. Hooks therefore observe ``self.runner`` one update
+        ahead of the metrics they receive; state-dependent work (snapshots,
+        checkpoints) keys off the host-side update counter in ``_pre_update``.
+        """
         cfg = self.cfg
         total = cfg.num_updates if num_updates is None else num_updates
+        self._host_update = int(self.runner.train.update)
         t0 = time.perf_counter()
-        for _ in range(total):
-            self._pre_update()
-            self.runner, metrics = self.update_step(self.runner, self.aux)
-            m = ppo.unpack_metrics(metrics)
+
+        def consume(m_dev):
+            m = ppo.unpack_metrics(m_dev)
             update = int(m["update"]) + 1
             # derived on host: the packed f32 copy loses exactness past 2^24 steps
             gstep = update * cfg.batch_size
@@ -110,14 +120,32 @@ class PPOTrainer:
             self._post_update(m)
             if on_update is not None:
                 on_update(self, m)
+
+        pending = None
+        for _ in range(total):
+            self._pre_update()
+            self.runner, metrics = self.update_step(self.runner, self.aux)
+            self._host_update += 1
+            if hasattr(metrics, "copy_to_host_async"):
+                metrics.copy_to_host_async()
+            if pending is not None:
+                consume(pending)
+            pending = metrics
+        if pending is not None:
+            consume(pending)
         return self.training_info
 
     def _pre_update(self):
-        """Hook before each update (self-play: snapshot/opponent selection)."""
+        """Hook before each update (self-play: snapshot/opponent selection).
+
+        Uses the host-side update counter (``self._host_update``) rather than
+        reading ``runner.train.update`` back, which would stall the pipeline on
+        the in-flight update.
+        """
         if self.cfg.anneal_speed_weight and isinstance(self.aux, dict) \
                 and "speed_weight" in self.aux:
             # the reference's *intended* schedule, 8 -> 14 (ppo.py:255-258)
-            frac = max(0.0, 1.0 - int(self.runner.train.update) / self.cfg.num_updates)
+            frac = max(0.0, 1.0 - self._host_update / self.cfg.num_updates)
             self.aux["speed_weight"] = jnp.float32(8.0 + (1.0 - frac) * 6.0)
 
     def _post_update(self, metrics):
