@@ -39,16 +39,19 @@ def raycast_walls(ox, oy, dx, dy, seg_sx, seg_sy, seg_vx, seg_vy, max_dist,
     # Algebraically restructured from track.py:176-193 to minimize [rays, segments]
     # work (identical math up to reassociation, ~1 ulp):
     #   cross(v2, v1) = oy*v2x - ox*v2y + (v2y*sx - v2x*sy)   [ray-independent!]
-    #   dot(v1, v3)   = (dx*oy - dy*ox) + (dy*sx - dx*sy)
-    # plus one reciprocal + two multiplies instead of two divides.
+    #   dot(v1, v3)   = (sx*dy - sy*dx) - (ox*dy - oy*dx)     [cross(o,d) per ray]
+    # plus one reciprocal + two multiplies instead of two divides. The reciprocal
+    # is taken raw: dotp == 0 yields inf/NaN in t/s, and those rows are already
+    # masked by ``valid`` — skipping the safe-denominator select saves a full
+    # [rays, segments] pass (~5% of the kernel on v5e).
     if seg_c is None:
         seg_c = seg_vy * seg_sx - seg_vx * seg_sy
     cn = oy[..., None] * seg_vx - ox[..., None] * seg_vy + seg_c
     dotp = seg_vy * dx[..., None] - seg_vx * dy[..., None]
-    u = dx * oy - dy * ox
-    sn = u[..., None] + dy[..., None] * seg_sx - dx[..., None] * seg_sy
+    u = ox * dy - oy * dx
+    sn = seg_sx * dy[..., None] - seg_sy * dx[..., None] - u[..., None]
     valid = jnp.abs(dotp) > _PARALLEL_EPS
-    inv = 1.0 / jnp.where(valid, dotp, 1.0)
+    inv = 1.0 / dotp
     t = cn * inv
     s = sn * inv
     hit = valid & (t >= 0.0) & (s >= 0.0) & (s <= 1.0)
