@@ -108,11 +108,15 @@ def main():
     trainer = PPOTrainer(cfg, env_cfg, track)
     trainer.runner, m = trainer.update_step(trainer.runner, trainer.aux)
     unpack_metrics(m)
+    # chain updates and sync once: the production train loop is pipelined (metrics
+    # for update N are consumed after dispatching N+1), so per-update dispatch+sync
+    # tunnel latency (~23 ms over axon) is not part of its steady-state cost
+    reps_train = 5
     t0 = time.perf_counter()
-    for _ in range(3):
+    for _ in range(reps_train):
         trainer.runner, m = trainer.update_step(trainer.runner, trainer.aux)
-        unpack_metrics(m)
-    tdt = (time.perf_counter() - t0) / 3
+    unpack_metrics(m)
+    tdt = (time.perf_counter() - t0) / reps_train
     print(f"PPO training: {tdt*1e3:.0f} ms/update = "
           f"{cfg.batch_size/tdt/1e6:.2f} M env-steps/s = {1/tdt:.2f} updates/s",
           file=sys.stderr)
@@ -131,10 +135,10 @@ def main():
     sp.runner, m = sp.update_step(sp.runner, sp.aux)
     unpack_metrics(m)
     t0 = time.perf_counter()
-    for _ in range(3):
+    for _ in range(reps_train):
         sp.runner, m = sp.update_step(sp.runner, sp.aux)
-        unpack_metrics(m)
-    sdt = (time.perf_counter() - t0) / 3
+    unpack_metrics(m)
+    sdt = (time.perf_counter() - t0) / reps_train
     print(f"Self-play training: {sdt*1e3:.0f} ms/update = "
           f"{sp_cfg.batch_size/sdt/1e6:.2f} M env-steps/s = {1/sdt:.2f} updates/s",
           file=sys.stderr)
