@@ -22,6 +22,7 @@ Semantics preserved exactly (SURVEY §7 quirks):
 """
 from __future__ import annotations
 
+import math
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -59,7 +60,10 @@ class TrainState:
     params: Any
     opt_state: Any
     update: jnp.ndarray       # i32 scalar: update index (drives anneals)
-    global_step: jnp.ndarray  # i32 scalar
+    # i32 scalar; wraps past 2^31-1 env steps (~2.1B). The authoritative count is
+    # derived host-side as update * batch_size (exact python ints) — see
+    # trainer.train(); nothing on device consumes this beyond logging.
+    global_step: jnp.ndarray
 
 
 @struct.dataclass
@@ -171,8 +175,12 @@ def run_ppo_update(cfg: PPOConfig, opt, params, opt_state, log_std, lr,
     """
     b = cfg.batch_size
     # shuffle granularity: permute contiguous blocks (DMA-friendly gather) when the
-    # shapes allow it, else fall back to per-sample permutation
-    block = cfg.shuffle_block_size
+    # shapes allow it, else fall back to per-sample permutation. Flat index is
+    # t*num_envs + n, so a block must divide num_envs or it would span consecutive
+    # timesteps of the same envs — temporally correlated samples locked into the
+    # same minibatch every epoch. gcd keeps blocks within one timestep (64 at the
+    # 4096-env scale configs, num_envs at the reference's 16).
+    block = math.gcd(cfg.shuffle_block_size, cfg.num_envs)
     if block <= 1 or b % block != 0 or cfg.minibatch_size % block != 0:
         block = 1
     n_units = b // block
@@ -278,16 +286,19 @@ def make_update_step(cfg: PPOConfig, hooks: EnvHooks, action_dim: int = 2):
 
         if cfg.reset_envs_each_update:
             # reference self-play rebuilds all envs every update (self_play_ppo.py:46-50)
+            # but never refreshes train()'s next_obs/next_done tensors
+            # (self_play_ppo.py:90-93): rollout step 0 acts on the PREVIOUS rollout's
+            # final observation (and GAE sees its stale done flag) while stepping the
+            # freshly reset envs. We reproduce that: env state resets, runner.obs /
+            # runner.done stay stale. Opponents still see the fresh reset obs — the
+            # wrapper's reset() stores last_obs_dict (wrappers.py:24-27) — which the
+            # refresh pass writes into the env state's obs cache.
             key, k_env, k_run = jax.random.split(runner.key, 3)
             env_state = hooks.reset(aux, k_env)
             if hooks.refresh is not None:
-                env_state, obs0 = hooks.refresh(aux, env_state)
-            else:
-                obs0 = hooks.observe(aux, env_state)
+                env_state, _ = hooks.refresh(aux, env_state)
             runner = runner.replace(
                 vec=vector.init(env_state, cfg.num_envs, k_run),
-                obs=obs0.astype(jnp.float32),
-                done=jnp.zeros((cfg.num_envs,), bool),
                 key=key,
             )
 

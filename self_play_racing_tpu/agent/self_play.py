@@ -100,10 +100,15 @@ class SelfPlayTrainer(PPOTrainer):
         return min(self.num_snapshots, self.pool_size)
 
     def snapshot_agent(self):
-        """Freeze current params + log_std into the ring slot (self_play_ppo.py:31-38)."""
+        """Freeze current params + log_std into the ring slot (self_play_ppo.py:31-38).
+
+        The reference snapshots at the top of update u, BEFORE that update's log_std
+        anneal runs (self_play_ppo.py:114-139), so the frozen buffer holds the value
+        annealed for update u-1 — ``buffer_log_std``, not ``log_std``.
+        """
         slot = self.num_snapshots % self.pool_size
         params = self.runner.train.params
-        log_std = self.log_std
+        log_std = self.buffer_log_std
         self.pool = {
             "params": jax.tree.map(
                 lambda p, x: p.at[slot].set(x.astype(p.dtype)),
@@ -138,8 +143,11 @@ class SelfPlayTrainer(PPOTrainer):
         # host-side update counter: reading runner.train.update back would stall
         # the lagged-metrics pipeline on the in-flight update (trainer.train()).
         update = self._host_update
+        # strict <: a checkpoint written at a snapshot update already contains that
+        # snapshot (num_snapshots * freq == update), so resuming from it must not
+        # take a duplicate (the reference resumes at update+1, self_play_ppo.py:98)
         if update > 0 and update % self.snapshot_freq == 0 and \
-                self.num_snapshots * self.snapshot_freq <= update:
+                self.num_snapshots * self.snapshot_freq < update:
             self.snapshot_agent()
         self.select_opponent()
         # the periodic full checkpoint lives here (not _post_update) so it captures
@@ -152,10 +160,9 @@ class SelfPlayTrainer(PPOTrainer):
 
     def _post_update(self, metrics):
         update = int(metrics["update"])
+        count = self._pool_count_by_update.pop(update, self.pool_count)
         if int(metrics["episodes"]) > 0:
-            self.training_info["opponent_pool_size"].append(
-                self._pool_count_by_update.pop(update, self.pool_count)
-            )
+            self.training_info["opponent_pool_size"].append(count)
 
     # ---- checkpoint / resume (self_play_ppo.py:52-68, 154-167) ----------------
 
@@ -178,6 +185,7 @@ class SelfPlayTrainer(PPOTrainer):
         self.runner = self.runner.replace(train=tree["train"])
         self.pool = tree["pool"]
         self.num_snapshots = int(meta["num_snapshots"])
+        self._host_update = int(self.runner.train.update)
         self.training_info = meta.get(
             "training_info", {"steps": [], "rewards": [], "opponent_pool_size": []}
         )

@@ -76,7 +76,19 @@ class PPOTrainer:
 
     @property
     def log_std(self):
+        """log_std annealed for the upcoming update (what update_step will use)."""
         return ppo.anneal_fractions(self.cfg, self.runner.train.update,
+                                    self.env_cfg.action_dim)[2]
+
+    @property
+    def buffer_log_std(self):
+        """log_std as the reference's torch buffer holds it between updates: the
+        value annealed for the last completed update (anneal(update-1)) — the
+        in-loop anneal for update u runs at the top of update u itself
+        (ppo.py:250-253, self_play_ppo.py:135-139). Snapshots and ``save`` capture
+        this, not the next update's value."""
+        u = max(self._host_update - 1, 0)
+        return ppo.anneal_fractions(self.cfg, jnp.asarray(u, jnp.int32),
                                     self.env_cfg.action_dim)[2]
 
     def train(self, num_updates: Optional[int] = None, log_every: int = 1,
@@ -152,11 +164,12 @@ class PPOTrainer:
         """Hook after each update (self-play: periodic full checkpoints)."""
 
     def save(self, path: str):
-        """Save policy params + current log_std (reference PPO.save, ppo.py:289-290)."""
+        """Save policy params + the buffer log_std (reference PPO.save, ppo.py:289-290
+        saves the state_dict, whose log_std buffer holds the last update's value)."""
         from ..utils.checkpoint import _to_host
 
         flat, treedef = jax.tree.flatten(self.runner.train.params)
-        host = _to_host(flat + [self.log_std])
+        host = _to_host(flat + [self.buffer_log_std])
         np.savez(
             path,
             treedef=str(treedef),

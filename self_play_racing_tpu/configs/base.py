@@ -41,9 +41,11 @@ class PPOConfig:
     normalize_obs: bool = False
 
     # epoch-shuffle granularity: contiguous blocks of this many samples are permuted
-    # as units (blocks of adjacent envs at one timestep — envs are independent, so
-    # minibatch statistics stay effectively uniform). Random per-sample gathers are
-    # ~8x slower on TPU; set 1 for an exact per-sample uniform permutation.
+    # as units. The effective block is gcd(shuffle_block_size, num_envs) so a block
+    # is always adjacent envs at ONE timestep (envs are independent, so minibatch
+    # statistics stay effectively uniform; cross-timestep blocks would lock
+    # correlated samples together). Random per-sample gathers are ~8x slower on
+    # TPU; set 1 for an exact per-sample uniform permutation.
     shuffle_block_size: int = 64
 
     # log-std anneal endpoints (ppo.py:250-253 single; self_play_ppo.py:135-139 self-play)

@@ -32,6 +32,7 @@ class Policy:
         self.deterministic = deterministic
         self._det = jax.jit(net.deterministic_action)
         self._sample = jax.jit(net.sample_action)
+        self._value = jax.jit(net.critic_value)
         self._key = jax.random.key(0)
 
     def act(self, obs) -> np.ndarray:
@@ -49,7 +50,7 @@ class Policy:
         return a[0] if squeeze else a
 
     def value(self, obs) -> np.ndarray:
-        return np.asarray(jax.jit(net.critic_value)(self.params, jnp.asarray(obs, jnp.float32)))
+        return np.asarray(self._value(self.params, jnp.asarray(obs, jnp.float32)))
 
 
 def bench(policy: Policy, obs_dim: int = 19, batches=(1, 64, 1024, 8192), reps=20):

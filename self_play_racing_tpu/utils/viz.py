@@ -41,68 +41,81 @@ def record_trajectory_single(params, log_std, env_cfg: senv.RacingConfig,
     """Roll one (batch-1) episode on device; return stacked host arrays of
     x, y, angle, speed, progress, reward, done per step."""
 
-    def body(carry, key):
-        state, obs, active = carry
-        obs32 = obs.astype(jnp.float32)
-        if deterministic:
-            action = net.deterministic_action(params, obs32)
-        else:
-            action, _, _ = net.sample_action(params, log_std, obs32, key)
-        nstate, nobs, rew, term, trunc, info = senv.step(env_cfg, track, state, action)
-        done = term | trunc
-        out = {
-            "x": nstate.car.x, "y": nstate.car.y, "angle": nstate.car.angle,
-            "speed": info["speed"], "progress": info["progress"],
-            "reward": rew, "active": active,
-        }
-        nactive = active & ~done
-        keep = lambda new, old: jnp.where(
-            jnp.reshape(nactive, nactive.shape + (1,) * (new.ndim - 1)), new, old)
-        return (jax.tree.map(keep, nstate, state), jnp.where(nactive[:, None], nobs, obs),
-                nactive), out
+    @jax.jit  # track passed as a jit argument, never closed over (CLAUDE.md rule)
+    def run(params, log_std, track, key):
+        def body(carry, key):
+            state, obs, active = carry
+            obs32 = obs.astype(jnp.float32)
+            if deterministic:
+                action = net.deterministic_action(params, obs32)
+            else:
+                action, _, _ = net.sample_action(params, log_std, obs32, key)
+            nstate, nobs, rew, term, trunc, info = senv.step(env_cfg, track, state, action)
+            done = term | trunc
+            out = {
+                "x": nstate.car.x, "y": nstate.car.y, "angle": nstate.car.angle,
+                "speed": info["speed"], "progress": info["progress"],
+                "reward": rew, "active": active,
+            }
+            nactive = active & ~done
+            keep = lambda new, old: jnp.where(
+                jnp.reshape(nactive, nactive.shape + (1,) * (new.ndim - 1)), new, old)
+            return (jax.tree.map(keep, nstate, state),
+                    jnp.where(nactive[:, None], nobs, obs), nactive), out
 
-    state, obs = senv.reset(env_cfg, track)
-    keys = jax.random.split(key, max_steps)
-    _, traj = jax.lax.scan(body, (state, obs, jnp.ones((obs.shape[0],), bool)), keys)
-    traj = {k: np.asarray(v)[:, 0] for k, v in traj.items()}
+        state, obs = senv.reset(env_cfg, track)
+        keys = jax.random.split(key, max_steps)
+        _, traj = jax.lax.scan(body, (state, obs, jnp.ones((obs.shape[0],), bool)), keys)
+        return traj
+
+    traj = {k: np.asarray(v)[:, 0] for k, v in run(params, log_std, track, key).items()}
+    # rows where active=True entering the step: 0..done-step inclusive — the row
+    # after that would re-step the frozen terminal state (re-firing e.g. the crash
+    # penalty), so it is excluded
     n = int(traj["active"].sum())
-    return {k: v[:n + 1 if n < max_steps else n] for k, v in traj.items()}
+    return {k: v[:n] for k, v in traj.items()}
 
 
 def record_trajectory_multi(params, log_std, env_cfg: menv.MultiRacingConfig,
                             track: trk.TrackArrays, key, max_steps=3000,
                             deterministic=True):
     """Shared-policy 2-car episode; arrays shaped [T, A]."""
-    k_reset, k_run = jax.random.split(key)
 
-    def body(carry, key):
-        state, obs, active = carry
-        n, a = state.x.shape
-        obs32 = obs.reshape((n * a, -1)).astype(jnp.float32)
-        if deterministic:
-            action = net.deterministic_action(params, obs32)
-        else:
-            action, _, _ = net.sample_action(params, log_std, obs32, key)
-        action = action.reshape((n, a, -1))
-        nstate, nobs, rew, term, trunc, info = menv.step(env_cfg, track, state, action)
-        done = term | trunc
-        out = {
-            "x": nstate.x, "y": nstate.y, "angle": nstate.angle,
-            "speed": info["speed"], "progress": info["progress"],
-            "reward": rew, "active": active,
-        }
-        nactive = active & ~done
-        keep = lambda new, old: jnp.where(
-            jnp.reshape(nactive, nactive.shape + (1,) * (new.ndim - 1)), new, old)
-        return (jax.tree.map(keep, nstate, state),
-                jnp.where(nactive[:, None, None], nobs, obs), nactive), out
+    @jax.jit  # track passed as a jit argument, never closed over (CLAUDE.md rule)
+    def run(params, log_std, track, key):
+        k_reset, k_run = jax.random.split(key)
 
-    state, obs = menv.reset(env_cfg, track, key=k_reset)
-    keys = jax.random.split(k_run, max_steps)
-    _, traj = jax.lax.scan(body, (state, obs, jnp.ones((state.x.shape[0],), bool)), keys)
-    traj = {k: np.asarray(v)[:, 0] for k, v in traj.items()}
+        def body(carry, key):
+            state, obs, active = carry
+            n, a = state.x.shape
+            obs32 = obs.reshape((n * a, -1)).astype(jnp.float32)
+            if deterministic:
+                action = net.deterministic_action(params, obs32)
+            else:
+                action, _, _ = net.sample_action(params, log_std, obs32, key)
+            action = action.reshape((n, a, -1))
+            nstate, nobs, rew, term, trunc, info = menv.step(env_cfg, track, state, action)
+            done = term | trunc
+            out = {
+                "x": nstate.x, "y": nstate.y, "angle": nstate.angle,
+                "speed": info["speed"], "progress": info["progress"],
+                "reward": rew, "active": active,
+            }
+            nactive = active & ~done
+            keep = lambda new, old: jnp.where(
+                jnp.reshape(nactive, nactive.shape + (1,) * (new.ndim - 1)), new, old)
+            return (jax.tree.map(keep, nstate, state),
+                    jnp.where(nactive[:, None, None], nobs, obs), nactive), out
+
+        state, obs = menv.reset(env_cfg, track, key=k_reset)
+        keys = jax.random.split(k_run, max_steps)
+        _, traj = jax.lax.scan(body, (state, obs, jnp.ones((state.x.shape[0],), bool)), keys)
+        return traj
+
+    traj = {k: np.asarray(v)[:, 0] for k, v in run(params, log_std, track, key).items()}
+    # exclude the row after the done step (it re-steps the frozen terminal state)
     n = int(traj["active"].sum())
-    return {k: v[:n + 1 if n < max_steps else n] for k, v in traj.items()}
+    return {k: v[:n] for k, v in traj.items()}
 
 
 class TrackRenderer:
@@ -187,6 +200,13 @@ def render_video(geometry: dict, traj: dict, out_path: str, fps: int = 60,
         xs, ys, angles = xs[:, None], ys[:, None], angles[:, None]
     T, A = xs.shape
     writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, size)
+    # cumulative reward up to each step, so frame_skip > 1 doesn't drop the
+    # rewards of skipped steps from the HUD total
+    rew = traj.get("reward")
+    cum_r = None
+    if rew is not None:
+        rew2 = np.asarray(rew).reshape(T, -1)[:, :A]
+        cum_r = np.cumsum(rew2, axis=0)
     total_r = np.zeros(A)
     for t in range(0, T, frame_skip):
         r.draw_track()
@@ -196,9 +216,8 @@ def render_video(geometry: dict, traj: dict, out_path: str, fps: int = 60,
                              r.CAR_COLORS[a % len(r.CAR_COLORS)])
             r.draw_car(xs[t, a], ys[t, a], angles[t, a],
                        r.CAR_COLORS[a % len(r.CAR_COLORS)])
-        rew = traj.get("reward")
-        if rew is not None:
-            total_r = total_r + np.atleast_1d(rew[t]).reshape(-1)[:A]
+        if cum_r is not None:
+            total_r = cum_r[t]
         prog = np.atleast_1d(traj["progress"][t]).reshape(-1)
         speed = np.atleast_1d(traj["speed"][t]).reshape(-1)
         hud = ([label] if label else []) + [

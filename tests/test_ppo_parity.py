@@ -180,3 +180,40 @@ def test_kl_early_stop_blocks_all_updates():
     assert float(np.sum(np.asarray(stats["applied"]))) == 0.0
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(new_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_shuffle_blocks_never_span_timesteps():
+    """Effective shuffle block is gcd(shuffle_block_size, num_envs): with the
+    reference's 16 envs, a 64-sample block would lock 4 consecutive timesteps of
+    the same envs into every minibatch. block=64 must therefore behave exactly
+    like block=16 (the gcd) — identical parameters after a full update."""
+    obs_dim, act_dim = 15, 2
+    params = net.init_params(jax.random.key(3), obs_dim, act_dim)
+    log_std = jnp.full((act_dim,), -0.5, jnp.float32)
+
+    def run(block):
+        cfg = base_config(num_envs=16, num_steps=64, num_minibatches=4,
+                          update_epochs=2, total_timesteps=16 * 64 * 4,
+                          shuffle_block_size=block)
+        opt = jppo.make_optimizer(cfg)
+        opt_state = opt.init(params)
+        b = cfg.batch_size
+        k = jax.random.key(9)
+        flat = jppo.Batch(
+            obs=jax.random.normal(k, (b, obs_dim), jnp.float32),
+            actions=jnp.clip(jax.random.normal(k, (b, act_dim), jnp.float32), -1, 1),
+            logprobs=jax.random.normal(k, (b,), jnp.float32),
+            advantages=jax.random.normal(k, (b,), jnp.float32),
+            returns=jax.random.normal(k, (b,), jnp.float32),
+            values=jax.random.normal(k, (b,), jnp.float32),
+        )
+        out, _, _, _ = jppo.run_ppo_update(
+            cfg, opt, params, opt_state, log_std, jnp.float32(3e-4), flat,
+            jax.random.key(4),
+        )
+        return out
+
+    p64 = run(64)
+    p16 = run(16)
+    for a, b in zip(jax.tree.leaves(p64), jax.tree.leaves(p16)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

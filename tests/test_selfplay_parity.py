@@ -155,6 +155,104 @@ def test_deferred_observe_matches_eager():
     assert saw_reset  # the comparison exercised the autoreset path
 
 
+def test_resume_from_snapshot_update_does_not_duplicate_snapshot(tmp_path):
+    """A checkpoint written at a snapshot update already contains that snapshot;
+    resuming from it must not take it again (the reference resumes at update+1
+    and never re-runs the snapshot block, self_play_ppo.py:96-115)."""
+    cfg = self_play_config(
+        num_envs=4, num_steps=32, num_minibatches=2, update_epochs=2,
+        total_timesteps=4 * 32 * 11, snapshot_freq=5, pool_size=4,
+    )
+    cps = jtrack.gen_tracks(2, seed=1)
+    pool = jtrack.make_track_pool(cps, [8.0] * 2)
+    track = jtrack.gather_tracks(pool, np.arange(4) % 2)
+    env_cfg = menv.MultiRacingConfig(num_agents=2, num_sensors=11)
+
+    tr = SelfPlayTrainer(cfg, env_cfg, track)
+    tr.train(checkpoint_dir=str(tmp_path))  # 11 updates; snapshots at 5 and 10
+    assert tr.num_snapshots == 2
+    ckpt = str(tmp_path / "checkpoint_update_10")  # written at update 10, pool = 2
+
+    tr2 = SelfPlayTrainer(cfg, env_cfg, track)
+    tr2.train(resume_from=ckpt)  # resumes the single remaining update (10)
+    assert tr2.num_snapshots == 2  # no duplicate snapshot at update 10
+
+    # a later snapshot boundary after resume still fires
+    tr2.train(num_updates=5)  # updates 11..15 -> snapshot at 15
+    assert tr2.num_snapshots == 3
+
+
+def test_snapshot_freezes_previous_updates_log_std():
+    """The reference snapshots at the top of update u BEFORE that update's anneal
+    (self_play_ppo.py:114-139), so the frozen buffer holds anneal(u-1)."""
+    from self_play_racing_tpu.agent import ppo as jppo
+
+    cfg = self_play_config(
+        num_envs=4, num_steps=32, num_minibatches=2, update_epochs=2,
+        total_timesteps=4 * 32 * 7, snapshot_freq=2, pool_size=5,
+    )
+    cps = jtrack.gen_tracks(2, seed=1)
+    pool = jtrack.make_track_pool(cps, [8.0] * 2)
+    track = jtrack.gather_tracks(pool, np.arange(4) % 2)
+    env_cfg = menv.MultiRacingConfig(num_agents=2, num_sensors=11)
+
+    tr = SelfPlayTrainer(cfg, env_cfg, track)
+    tr.train()  # 7 updates; snapshots at updates 2, 4, 6 -> slots 0, 1, 2
+    for slot, at_update in zip((0, 1, 2), (2, 4, 6)):
+        expect = jppo.anneal_fractions(cfg, jnp.int32(at_update - 1), 2)[2]
+        np.testing.assert_allclose(
+            np.asarray(tr.pool["log_std"][slot]), np.asarray(expect),
+            rtol=0, atol=0, err_msg=f"snapshot at update {at_update}",
+        )
+
+
+def test_reset_each_update_keeps_stale_next_obs():
+    """reset_envs_each_update resets the ENV state but, like the reference (which
+    rebuilds SyncVectorEnv without refreshing train()'s next_obs), rollout step 0
+    must act on the previous rollout's final observation."""
+    from self_play_racing_tpu.agent import ppo as jppo
+    from self_play_racing_tpu.configs import base_config
+
+    cfg = base_config(num_envs=4, num_steps=2, num_minibatches=1, update_epochs=1,
+                      total_timesteps=4 * 2 * 4, reset_envs_each_update=True)
+    obs_dim, act_dim = 4, 2
+
+    # counter env: observe() exposes the step counter; reward encodes it too
+    def reset(aux, key):
+        return {"v": jnp.zeros((cfg.num_envs,), jnp.float32)}
+
+    def transition(aux, state, action, key):
+        v = state["v"] + 1.0
+        rew = v + 0.01 * jnp.sum(action, axis=-1)
+        f = jnp.zeros_like(v, bool)
+        return {"v": v}, rew, f, f, {}
+
+    def observe(aux, state):
+        return jnp.broadcast_to(state["v"][:, None], (cfg.num_envs, obs_dim))
+
+    hooks = jppo.EnvHooks(reset=reset, transition=transition, observe=observe)
+    step = jax.jit(jppo.make_update_step(cfg, hooks, act_dim))
+    aux = jnp.zeros(())
+    runner = jppo.init_runner(jax.random.key(0), cfg, hooks, aux, obs_dim, act_dim)
+
+    # same runner, different carried next_obs: if the reset branch kept the stale
+    # obs, the step-0 action (and thus the reward's action term) must differ
+    rA = runner.replace(obs=jnp.full_like(runner.obs, 5.0))
+    rB = runner.replace(obs=jnp.full_like(runner.obs, -3.0))
+    mA = jppo.unpack_metrics(step(rA, aux)[1])
+    mB = jppo.unpack_metrics(step(rB, aux)[1])
+    assert mA["mean_reward"] != mB["mean_reward"], \
+        "step 0 ignored the carried (stale) observation"
+
+    # and the env state itself IS reset each update: the counter-based reward
+    # component repeats identically across consecutive updates
+    r2, m1 = step(runner, aux)
+    _, m2 = step(r2, aux)
+    v1 = jppo.unpack_metrics(m1)["mean_reward"]
+    v2 = jppo.unpack_metrics(m2)["mean_reward"]
+    assert abs(v1 - v2) < 0.1, "env state was not reset between updates"
+
+
 def test_selfplay_trainer_smoke(tmp_path):
     cfg = self_play_config(
         num_envs=8, num_steps=96, num_minibatches=4, update_epochs=3,

@@ -62,6 +62,39 @@ def test_record_and_render_multi_plus_grid(setup, tmp_path):
     assert n > 0 and os.path.getsize(grid) > 1000
 
 
+def test_recorded_trajectory_has_no_phantom_terminal_row(setup):
+    """Every returned row must come from an active step: the row after the done
+    step re-steps the frozen terminal state (re-firing the crash penalty), so it
+    must be trimmed. A random-ish policy crashes well before max_steps here."""
+    cps, geometry, track = setup
+    env_cfg = senv.RacingConfig(num_sensors=11)
+    params = net.init_params(jax.random.key(0), env_cfg.obs_dim, 2)
+    log_std = jnp.full((2,), 0.5, jnp.float32)  # noisy -> crashes quickly
+    traj = viz.record_trajectory_single(params, log_std, env_cfg, track,
+                                        jax.random.key(3), max_steps=500,
+                                        deterministic=False)
+    assert len(traj["x"]) < 500  # episode actually ended
+    assert traj["active"].all()
+    # the crash penalty appears at most once (it would repeat on phantom rows)
+    assert (traj["reward"] < -30).sum() <= 1
+
+
+def test_render_video_hud_reward_counts_skipped_frames(setup, tmp_path):
+    """frame_skip > 1 must not drop skipped steps' rewards from the HUD total —
+    exercised by rendering with skip 5 (the cumulative total is internal, so this
+    is a smoke check that the cumsum path handles [T] and [T, A] shapes)."""
+    cps, geometry, track = setup
+    T = 23
+    traj = {
+        "x": np.linspace(0, 5, T), "y": np.zeros(T), "angle": np.zeros(T),
+        "speed": np.ones(T), "progress": np.linspace(0, 0.2, T),
+        "reward": np.ones(T),
+    }
+    out = str(tmp_path / "skip.mp4")
+    frames = viz.render_video(geometry, traj, out, frame_skip=5)
+    assert frames == (T + 4) // 5 and os.path.getsize(out) > 1000
+
+
 def test_eval_training_plot(tmp_path):
     for name in ("a", "b"):
         with open(tmp_path / f"{name}.json", "w") as f:
