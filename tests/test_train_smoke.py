@@ -52,3 +52,19 @@ def test_save_load_roundtrip(tmp_path):
     import jax
     for a, b in zip(jax.tree.leaves(trainer.params), jax.tree.leaves(trainer2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_scale_entry_smoke(tmp_path, monkeypatch):
+    """The reproducible scale-mode CLI entry (train.py scale) at toy sizes."""
+    monkeypatch.chdir(tmp_path)
+    from self_play_racing_tpu.train import train_scale
+
+    tr = train_scale(
+        total_timesteps=8 * 32 * 3, num_envs=8, num_steps=32, num_tracks=2,
+        num_minibatches=2, update_epochs=2, snapshot_freq=1, pool_size=2,
+        out=str(tmp_path / "scale.npz"),
+        info_out=str(tmp_path / "info.json"),
+    )
+    assert tr.cfg.opponent_per_env and not tr.cfg.reset_envs_each_update
+    assert tr.pool_count == 2
+    assert (tmp_path / "scale.npz").exists() and (tmp_path / "info.json").exists()
