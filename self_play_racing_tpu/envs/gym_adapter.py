@@ -176,3 +176,71 @@ class MultiRacingEnv(gym.Env):
         dones = {f"{i}": bool(term[0]) for i in range(self.num_agents)}
         dones["__all__"] = done_all
         return observations, rewards, dones, bool(trunc[0]), infos
+
+
+class SelfPlayWrapper(gym.Wrapper):
+    """Single-agent view of the multi-agent adapter with an internal frozen opponent
+    (reference wrappers.py:5-63 contract).
+
+    ``set_opponent`` accepts:
+      - ``None``: opponents sample uniformly from the action space
+        (wrappers.py:31-32; with the multi env's (a+1)/2 throttle remap random
+        opponents drive with throttle in [0.5, 1]),
+      - a ``(params, log_std)`` pair (this framework's policy pytree): opponents
+        sample Normal(mu, exp(log_std)) clamped to [-1, 1], like the reference's
+        frozen-Agent path (wrappers.py:36-39),
+      - any callable ``obs -> action`` (e.g. ``serve.Policy(...).act``).
+
+    Opponents act on the observation stored from the *previous* step
+    (last_obs_dict, wrappers.py:24-27,47). ``step`` returns the agent view with
+    ``done = dones["__all__"]`` (wrappers.py:52). For training at scale use the
+    functional ``envs.selfplay`` path — this class is the API-compat adapter.
+    """
+
+    def __init__(self, env: MultiRacingEnv, agent_id: int = 0):
+        if _GYM:
+            super().__init__(env)
+        self.env = env
+        self.agent_id = agent_id
+        self._key = str(agent_id)
+        self.curr_opponent = None
+        self.last_obs_dict = None
+        self._rng = jax.random.key(0)
+        if _GYM:
+            self.action_space = env.action_space[self._key]
+            self.observation_space = env.observation_space[self._key]
+
+    def set_opponent(self, opponent):
+        self.curr_opponent = opponent
+
+    def _opponent_action(self, obs):
+        opp = self.curr_opponent
+        if opp is None:
+            if _GYM:
+                return self.action_space.sample()
+            return np.random.uniform([-1.0, 0.0], [1.0, 1.0]).astype(np.float32)
+        if callable(opp):
+            return np.asarray(opp(obs), np.float32)
+        params, log_std = opp
+        self._rng, k = jax.random.split(self._rng)
+        from ..models import actor_critic as net
+
+        a, _, _ = net.sample_action(params, jnp.asarray(log_std),
+                                    jnp.asarray(obs, jnp.float32)[None], k)
+        return np.asarray(a[0])
+
+    def reset(self, seed=None, options=None):
+        obs, infos = self.env.reset(seed=seed, options=options)
+        self.last_obs_dict = obs
+        return obs[self._key], infos[self._key]
+
+    def step(self, action):
+        actions = {self._key: np.asarray(action, np.float32)}
+        for i in range(self.env.num_agents):
+            k = f"{i}"
+            if k != self._key:
+                actions[k] = self._opponent_action(self.last_obs_dict[k])
+        obs, rewards, dones, truncated, infos = self.env.step(actions)
+        self.last_obs_dict = obs
+        return (obs[self._key], rewards[self._key], dones["__all__"], truncated,
+                infos[self._key])

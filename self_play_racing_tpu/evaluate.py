@@ -66,12 +66,10 @@ def evaluate_multi_agent_overall(grid, model_path, num_tracks=40, num_runs=5,
     params, log_std = load_policy(model_path)
     track, track_ids, run_ids = grid
     env_cfg = menv.MultiRacingConfig(num_agents=2, num_sensors=11)
-    # jit with the track as an argument (like the single path above): closing over
-    # the 200-combo grid would constant-fold it into the executable (CLAUDE.md rule)
-    eps = jax.jit(
-        lambda tr, key: M.rollout_multi(params, log_std, env_cfg, tr, key,
-                                        max_steps=3000, deterministic=deterministic)
-    )(track, jax.random.key(seed))
+    # rollout_multi jits its device scan internally with the track as an argument
+    # (its finished-car selection tail runs on host, so it can't be jitted whole)
+    eps = M.rollout_multi(params, log_std, env_cfg, track, jax.random.key(seed),
+                          max_steps=3000, deterministic=deterministic)
     eps = {k: np.asarray(v) for k, v in eps.items()}
     results = M.aggregate(eps)
     results["all_episodes"] = [

@@ -101,58 +101,69 @@ def rollout_multi(params, log_std, env_cfg: menv.MultiRacingConfig,
                   track: trk.TrackArrays, key, max_steps: int = 3000,
                   deterministic: bool = False):
     """Shared-policy 2-car rollout (utils/metrics.py:80-150): both cars driven by the
-    same agent; per-episode stats come from the finished car, else car 0."""
-    k_reset, k_run = jax.random.split(key)
-    state, obs = menv.reset(env_cfg, track, key=k_reset)
-    n, a = state.x.shape
+    same agent; per-episode stats come from the finished car, else car 0.
+
+    The device scan is jitted here with the track as an argument (CLAUDE.md rule —
+    closing over the eval grid would constant-fold ~MBs of geometry); only the
+    finished-car selection below runs on host."""
+    n = track.wp_x.shape[0]
+    a = env_cfg.num_agents
     f32 = jnp.float32
 
-    def body(carry, key):
-        state, obs, active, acc = carry
-        flat_obs = obs.reshape((n * a, -1)).astype(f32)
-        action = _policy_action(params, log_std, flat_obs, key, deterministic)
-        action = action.reshape((n, a, -1))
-        nstate, nobs, rew, term, trunc, info = menv.step(env_cfg, track, state, action)
-        done = term | trunc
-        step_dist = jnp.sqrt((info["x"] - state.x) ** 2 + (info["y"] - state.y) ** 2)
-        first_step = acc["steps"] == 0
-        act2 = active[:, None]
-        acc = {
-            "total_reward": acc["total_reward"] + jnp.where(act2, rew, 0.0),
-            "steps": acc["steps"] + jnp.where(active, 1, 0),
-            "total_distance": acc["total_distance"]
-            + jnp.where(act2 & ~first_step[:, None], step_dist, 0.0),
-            "progress": jnp.where(act2, info["progress"], acc["progress"]),
-            "finished": jnp.where(act2, info["finished"], acc["finished"]),
-            "crashed": jnp.where(act2, info["crashed"], acc["crashed"]),
-            "speed": jnp.where(act2, info["speed"], acc["speed"]),
-            "placement": jnp.where(act2, info["placement"], acc["placement"]),
-        }
-        active = active & ~done
-        nstate = jax.tree.map(
-            lambda new, old: jnp.where(
-                jnp.reshape(active, active.shape + (1,) * (new.ndim - 1)), new, old
-            ),
-            nstate, state,
-        )
-        nobs = jnp.where(active[:, None, None], nobs, obs)
-        return (nstate, nobs, active, acc), None
+    @jax.jit
+    def run(params, log_std, track, key):
+        k_reset, k_run = jax.random.split(key)
+        state, obs = menv.reset(env_cfg, track, key=k_reset)
 
-    dtype = state.x.dtype
-    acc0 = {
-        "total_reward": jnp.zeros((n, a), dtype),
-        "steps": jnp.zeros((n,), jnp.int32),
-        "total_distance": jnp.zeros((n, a), dtype),
-        "progress": jnp.zeros((n, a), dtype),
-        "finished": jnp.zeros((n, a), bool),
-        "crashed": jnp.zeros((n, a), bool),
-        "speed": jnp.zeros((n, a), dtype),
-        "placement": jnp.zeros((n, a), jnp.int32),
-    }
-    keys = jax.random.split(k_run, max_steps)
-    (_, _, _, acc), _ = jax.lax.scan(
-        body, (state, obs, jnp.ones((n,), bool), acc0), keys
-    )
+        def body(carry, key):
+            state, obs, active, acc = carry
+            flat_obs = obs.reshape((n * a, -1)).astype(f32)
+            action = _policy_action(params, log_std, flat_obs, key, deterministic)
+            action = action.reshape((n, a, -1))
+            nstate, nobs, rew, term, trunc, info = menv.step(env_cfg, track, state, action)
+            done = term | trunc
+            step_dist = jnp.sqrt((info["x"] - state.x) ** 2 + (info["y"] - state.y) ** 2)
+            first_step = acc["steps"] == 0
+            act2 = active[:, None]
+            acc = {
+                "total_reward": acc["total_reward"] + jnp.where(act2, rew, 0.0),
+                "steps": acc["steps"] + jnp.where(active, 1, 0),
+                "total_distance": acc["total_distance"]
+                + jnp.where(act2 & ~first_step[:, None], step_dist, 0.0),
+                "progress": jnp.where(act2, info["progress"], acc["progress"]),
+                "finished": jnp.where(act2, info["finished"], acc["finished"]),
+                "crashed": jnp.where(act2, info["crashed"], acc["crashed"]),
+                "speed": jnp.where(act2, info["speed"], acc["speed"]),
+                "placement": jnp.where(act2, info["placement"], acc["placement"]),
+            }
+            active = active & ~done
+            nstate = jax.tree.map(
+                lambda new, old: jnp.where(
+                    jnp.reshape(active, active.shape + (1,) * (new.ndim - 1)), new, old
+                ),
+                nstate, state,
+            )
+            nobs = jnp.where(active[:, None, None], nobs, obs)
+            return (nstate, nobs, active, acc), None
+
+        dtype = state.x.dtype
+        acc0 = {
+            "total_reward": jnp.zeros((n, a), dtype),
+            "steps": jnp.zeros((n,), jnp.int32),
+            "total_distance": jnp.zeros((n, a), dtype),
+            "progress": jnp.zeros((n, a), dtype),
+            "finished": jnp.zeros((n, a), bool),
+            "crashed": jnp.zeros((n, a), bool),
+            "speed": jnp.zeros((n, a), dtype),
+            "placement": jnp.zeros((n, a), jnp.int32),
+        }
+        keys = jax.random.split(k_run, max_steps)
+        (_, _, _, acc), _ = jax.lax.scan(
+            body, (state, obs, jnp.ones((n,), bool), acc0), keys
+        )
+        return acc
+
+    acc = run(params, log_std, track, key)
     # chosen car: first finished car, else car 0 (utils/metrics.py:138-150)
     fin = np.asarray(acc["finished"])
     chosen = np.where(fin[:, 0], 0, np.where(fin[:, 1], 1, 0)) if a >= 2 else np.zeros(n, int)

@@ -126,3 +126,44 @@ def test_multi_adapter_contract():
     obs, rewards, dones, truncated, infos = env.step(a)
     assert set(dones) == {"0", "1", "__all__"}
     assert isinstance(rewards["0"], float)
+
+
+def test_selfplay_wrapper_adapter_lockstep_with_reference():
+    """gym_adapter.SelfPlayWrapper walks in lockstep with the reference
+    SelfPlayWrapper under an identical (near-deterministic) frozen opponent."""
+    from environment.multi_racing_env import MultiRacingEnv as RefMultiEnv
+    from environment.wrappers import SelfPlayWrapper as RefWrapper
+
+    width = 7.5
+    cps = [jtrack.gen_random_track(12, 58, 14, 0.35, 0.5, seed=9)]
+    opp_params = net.init_params(jax.random.key(5), 19, 2)
+    log_std = jnp.full((2,), -20.0, jnp.float32)  # std ~ 2e-9: effectively greedy
+
+    ours = gym_adapter.SelfPlayWrapper(
+        gym_adapter.MultiRacingEnv(num_agents=2, num_sensors=11, track_pool=cps,
+                                   track_id=0, track_width=width), 0)
+    ours.set_opponent((opp_params, log_std))
+
+    ref_opp = RefAgent(_Space((19,)), _Space((2,)))
+    ref_opp.load_state_dict(net.params_to_torch_state_dict(opp_params, log_std))
+    ref_opp.eval()
+    ref = RefWrapper(RefMultiEnv(num_agents=2, num_sensors=11, track_pool=cps,
+                                 track_id=0, track_width=width), 0)
+    ref.set_opponent(ref_opp)
+
+    np.random.seed(7)
+    o1, _ = ours.reset()
+    np.random.seed(7)
+    o2, _ = ref.reset()
+    np.testing.assert_allclose(o1, o2, atol=1e-6)
+
+    for t in range(150):
+        a = np.array([0.25 * np.sin(t / 11.0), 0.6], np.float32)
+        o1, r1, d1, tr1, i1 = ours.step(a)
+        o2, r2, d2, tr2, i2 = ref.step(a)
+        np.testing.assert_allclose(o1, o2, atol=1e-4, err_msg=f"step {t}")
+        assert r1 == pytest.approx(r2, abs=1e-4), f"step {t}"
+        assert d1 == d2, f"step {t}"
+        if d1 or tr1:
+            break
+    assert t > 20
