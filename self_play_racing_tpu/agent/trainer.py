@@ -165,24 +165,42 @@ class PPOTrainer:
 
     def save(self, path: str):
         """Save policy params + the buffer log_std (reference PPO.save, ppo.py:289-290
-        saves the state_dict, whose log_std buffer holds the last update's value)."""
+        saves the state_dict, whose log_std buffer holds the last update's value).
+        Policies trained with ``normalize_obs`` also store the running observation
+        statistics — without them the policy would act on un-normalized inputs."""
         from ..utils.checkpoint import _to_host
 
         flat, treedef = jax.tree.flatten(self.runner.train.params)
+        extra = {}
+        if self.cfg.normalize_obs:
+            norm = self.runner.obs_norm
+            mean, var, count = _to_host([norm.mean, norm.var, norm.count])
+            extra = {"obs_mean": mean, "obs_var": var, "obs_count": count}
         host = _to_host(flat + [self.buffer_log_std])
         np.savez(
             path,
             treedef=str(treedef),
             log_std=host[-1],
+            **extra,
             **{f"p{i}": x for i, x in enumerate(host[:-1])},
         )
 
     def load(self, path: str):
         data = np.load(path, allow_pickle=False)
-        flat = [jnp.asarray(data[f"p{i}"]) for i in range(len(data.files) - 2)]
+        n = sum(1 for k in data.files if k.startswith("p") and k[1:].isdigit())
+        flat = [jnp.asarray(data[f"p{i}"]) for i in range(n)]
         treedef = jax.tree.structure(self.runner.train.params)
         params = jax.tree.unflatten(treedef, flat)
-        self.runner = self.runner.replace(train=self.runner.train.replace(params=params))
+        runner = self.runner.replace(train=self.runner.train.replace(params=params))
+        if "obs_mean" in data.files:
+            from ..envs import normalize as obsnorm
+
+            runner = runner.replace(obs_norm=obsnorm.ObsNormState(
+                mean=jnp.asarray(data["obs_mean"]),
+                var=jnp.asarray(data["obs_var"]),
+                count=jnp.asarray(data["obs_count"]),
+            ))
+        self.runner = runner
 
     def save_training_info(self, path: str):
         with open(path, "w") as f:

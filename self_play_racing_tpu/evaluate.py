@@ -28,26 +28,45 @@ from .utils import metrics as M
 
 def load_policy(path):
     """(params, log_std) from .npz (ours) or .pth (reference torch state dict)."""
+    params, log_std, _ = load_policy_bundle(path)
+    return params, log_std
+
+
+def load_policy_bundle(path):
+    """(params, log_std, obs_norm_or_None). ``obs_norm`` is the running observation
+    normalizer saved with policies trained under ``normalize_obs=True`` — consumers
+    MUST apply it before the policy or the inputs are on the wrong scale."""
     if path.endswith(".pth") or path.endswith(".pt"):
-        return net.params_from_torch_state_dict(path)
+        params, log_std = net.params_from_torch_state_dict(path)
+        return params, log_std, None
     data = np.load(path, allow_pickle=False)
     n = sum(1 for k in data.files if k.startswith("p") and k[1:].isdigit())
     flat = [jnp.asarray(data[f"p{i}"]) for i in range(n)]
     template = net.init_params(jax.random.key(0), 1, 1)
     treedef = jax.tree.structure(template)
     params = jax.tree.unflatten(treedef, flat)
-    return params, jnp.asarray(data["log_std"])
+    obs_norm = None
+    if "obs_mean" in data.files:
+        from .envs import normalize as obsnorm
+
+        obs_norm = obsnorm.ObsNormState(
+            mean=jnp.asarray(data["obs_mean"]),
+            var=jnp.asarray(data["obs_var"]),
+            count=jnp.asarray(data["obs_count"]),
+        )
+    return params, jnp.asarray(data["log_std"]), obs_norm
 
 
 def evaluate_single_agent_overall(grid, model_path, num_tracks=40, num_runs=5,
                                   seed=42, deterministic=False):
     """evaluate.py:12-66 equivalent, one batched rollout for the whole grid."""
-    params, log_std = load_policy(model_path)
+    params, log_std, obs_norm = load_policy_bundle(model_path)
     track, track_ids, run_ids = grid
     env_cfg = senv.RacingConfig(num_sensors=11)
     eps = jax.jit(
         lambda tr, key: M.rollout_single(params, log_std, env_cfg, tr, key,
-                                         max_steps=2000, deterministic=deterministic)
+                                         max_steps=2000, deterministic=deterministic,
+                                         obs_norm=obs_norm)
     )(track, jax.random.key(seed))
     eps = {k: np.asarray(v) for k, v in eps.items()}
     results = M.aggregate(eps)
@@ -63,13 +82,14 @@ def evaluate_single_agent_overall(grid, model_path, num_tracks=40, num_runs=5,
 def evaluate_multi_agent_overall(grid, model_path, num_tracks=40, num_runs=5,
                                  seed=42, deterministic=False):
     """evaluate.py:68-122 equivalent: shared policy drives both cars."""
-    params, log_std = load_policy(model_path)
+    params, log_std, obs_norm = load_policy_bundle(model_path)
     track, track_ids, run_ids = grid
     env_cfg = menv.MultiRacingConfig(num_agents=2, num_sensors=11)
     # rollout_multi jits its device scan internally with the track as an argument
     # (its finished-car selection tail runs on host, so it can't be jitted whole)
     eps = M.rollout_multi(params, log_std, env_cfg, track, jax.random.key(seed),
-                          max_steps=3000, deterministic=deterministic)
+                          max_steps=3000, deterministic=deterministic,
+                          obs_norm=obs_norm)
     eps = {k: np.asarray(v) for k, v in eps.items()}
     results = M.aggregate(eps)
     results["all_episodes"] = [

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from .envs import multi as menv
 from .envs import single as senv
 from .envs import track as trk
-from .evaluate import load_policy
+from .evaluate import load_policy_bundle
 from .utils import viz
 
 
@@ -39,19 +39,21 @@ def render_model(kind: str, model_path: str, out_path: str, track_seed: int = 12
                  label: str | None = None, frame_skip: int = 1, seed: int = 0):
     """Record one episode of ``model_path`` on a held-out track and write an mp4.
     Returns the recorded trajectory dict."""
-    params, log_std = load_policy(model_path)
+    params, log_std, obs_norm = load_policy_bundle(model_path)
     geometry, track = _held_out_track(track_seed, width)
     key = jax.random.key(seed)
     if kind == "single":
         env_cfg = senv.RacingConfig(num_sensors=11)
         traj = viz.record_trajectory_single(params, log_std, env_cfg, track, key,
                                             max_steps=max_steps,
-                                            deterministic=deterministic)
+                                            deterministic=deterministic,
+                                            obs_norm=obs_norm)
     else:
         env_cfg = menv.MultiRacingConfig(num_agents=2, num_sensors=11)
         traj = viz.record_trajectory_multi(params, log_std, env_cfg, track, key,
                                            max_steps=max_steps,
-                                           deterministic=deterministic)
+                                           deterministic=deterministic,
+                                           obs_norm=obs_norm)
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     label = label or os.path.splitext(os.path.basename(model_path))[0]
     frames = viz.render_video(geometry, traj, out_path, label=label,

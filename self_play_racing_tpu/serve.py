@@ -26,14 +26,18 @@ class Policy:
     """Thread-compatible stateless policy server around a checkpoint."""
 
     def __init__(self, model_path: str, deterministic: bool = True):
-        from .evaluate import load_policy
+        from .evaluate import load_policy_bundle
 
-        self.params, self.log_std = load_policy(model_path)
+        self.params, self.log_std, self.obs_norm = load_policy_bundle(model_path)
         self.deterministic = deterministic
         self._det = jax.jit(net.deterministic_action)
         self._sample = jax.jit(net.sample_action)
         self._value = jax.jit(net.critic_value)
         self._key = jax.random.key(0)
+        if self.obs_norm is not None:
+            from .envs import normalize as obsnorm
+
+            self._norm = jax.jit(obsnorm.apply)
 
     def act(self, obs) -> np.ndarray:
         """obs: [batch, obs_dim] (or [obs_dim]) -> actions in [-1, 1]."""
@@ -41,6 +45,8 @@ class Policy:
         squeeze = x.ndim == 1
         if squeeze:
             x = x[None]
+        if self.obs_norm is not None:
+            x = self._norm(self.obs_norm, x)
         if self.deterministic:
             a = self._det(self.params, x)
         else:
@@ -50,7 +56,10 @@ class Policy:
         return a[0] if squeeze else a
 
     def value(self, obs) -> np.ndarray:
-        return np.asarray(self._value(self.params, jnp.asarray(obs, jnp.float32)))
+        x = jnp.asarray(obs, jnp.float32)
+        if self.obs_norm is not None:
+            x = self._norm(self.obs_norm, x)
+        return np.asarray(self._value(self.params, x))
 
 
 def bench(policy: Policy, obs_dim: int = 19, batches=(1, 64, 1024, 8192), reps=20):

@@ -31,7 +31,11 @@ from ..envs import track as trk
 from ..models import actor_critic as net
 
 
-def _policy_action(params, log_std, obs, key, deterministic):
+def _policy_action(params, log_std, obs, key, deterministic, obs_norm=None):
+    if obs_norm is not None:
+        from ..envs import normalize as obsnorm
+
+        obs = obsnorm.apply(obs_norm, obs)
     if deterministic:
         return net.deterministic_action(params, obs)
     action, _, _ = net.sample_action(params, log_std, obs, key)
@@ -39,7 +43,8 @@ def _policy_action(params, log_std, obs, key, deterministic):
 
 
 def rollout_single(params, log_std, env_cfg: senv.RacingConfig, track: trk.TrackArrays,
-                   key, max_steps: int = 2000, deterministic: bool = False):
+                   key, max_steps: int = 2000, deterministic: bool = False,
+                   obs_norm=None):
     """Latched episode metrics for a batch of single-agent envs. Returns a dict of
     [N] arrays (total_reward, steps, progress, finished, crashed, speed,
     total_distance, distance_per_step)."""
@@ -49,7 +54,8 @@ def rollout_single(params, log_std, env_cfg: senv.RacingConfig, track: trk.Track
 
     def body(carry, key):
         state, obs, active, acc = carry
-        action = _policy_action(params, log_std, obs.astype(f32), key, deterministic)
+        action = _policy_action(params, log_std, obs.astype(f32), key, deterministic,
+                                obs_norm)
         nstate, nobs, rew, term, trunc, info = senv.step(env_cfg, track, state, action)
         done = term | trunc
         step_dist = jnp.sqrt(
@@ -99,7 +105,7 @@ def rollout_single(params, log_std, env_cfg: senv.RacingConfig, track: trk.Track
 
 def rollout_multi(params, log_std, env_cfg: menv.MultiRacingConfig,
                   track: trk.TrackArrays, key, max_steps: int = 3000,
-                  deterministic: bool = False):
+                  deterministic: bool = False, obs_norm=None):
     """Shared-policy 2-car rollout (utils/metrics.py:80-150): both cars driven by the
     same agent; per-episode stats come from the finished car, else car 0.
 
@@ -118,7 +124,8 @@ def rollout_multi(params, log_std, env_cfg: menv.MultiRacingConfig,
         def body(carry, key):
             state, obs, active, acc = carry
             flat_obs = obs.reshape((n * a, -1)).astype(f32)
-            action = _policy_action(params, log_std, flat_obs, key, deterministic)
+            action = _policy_action(params, log_std, flat_obs, key, deterministic,
+                                    obs_norm)
             action = action.reshape((n, a, -1))
             nstate, nobs, rew, term, trunc, info = menv.step(env_cfg, track, state, action)
             done = term | trunc

@@ -37,7 +37,7 @@ def _pygame():
 
 def record_trajectory_single(params, log_std, env_cfg: senv.RacingConfig,
                              track: trk.TrackArrays, key, max_steps=2000,
-                             deterministic=True):
+                             deterministic=True, obs_norm=None):
     """Roll one (batch-1) episode on device; return stacked host arrays of
     x, y, angle, speed, progress, reward, done per step."""
 
@@ -46,6 +46,10 @@ def record_trajectory_single(params, log_std, env_cfg: senv.RacingConfig,
         def body(carry, key):
             state, obs, active = carry
             obs32 = obs.astype(jnp.float32)
+            if obs_norm is not None:
+                from ..envs import normalize as obsnorm
+
+                obs32 = obsnorm.apply(obs_norm, obs32)
             if deterministic:
                 action = net.deterministic_action(params, obs32)
             else:
@@ -78,7 +82,7 @@ def record_trajectory_single(params, log_std, env_cfg: senv.RacingConfig,
 
 def record_trajectory_multi(params, log_std, env_cfg: menv.MultiRacingConfig,
                             track: trk.TrackArrays, key, max_steps=3000,
-                            deterministic=True):
+                            deterministic=True, obs_norm=None):
     """Shared-policy 2-car episode; arrays shaped [T, A]."""
 
     @jax.jit  # track passed as a jit argument, never closed over (CLAUDE.md rule)
@@ -89,6 +93,10 @@ def record_trajectory_multi(params, log_std, env_cfg: menv.MultiRacingConfig,
             state, obs, active = carry
             n, a = state.x.shape
             obs32 = obs.reshape((n * a, -1)).astype(jnp.float32)
+            if obs_norm is not None:
+                from ..envs import normalize as obsnorm
+
+                obs32 = obsnorm.apply(obs_norm, obs32)
             if deterministic:
                 action = net.deterministic_action(params, obs32)
             else:

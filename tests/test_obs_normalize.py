@@ -37,3 +37,53 @@ def test_training_with_normalization_learns():
     # statistics actually accumulated
     assert float(tr.runner.obs_norm.count) > 10_000
     assert float(jnp.abs(tr.runner.obs_norm.mean).max()) > 0.01
+
+
+def test_normalizer_persists_through_save_load_and_serving(tmp_path):
+    """A policy trained with normalize_obs must carry its running statistics into
+    saved checkpoints, evaluation rollouts, and the serving wrapper — otherwise it
+    acts on un-normalized inputs at deployment."""
+    cfg = base_config(num_envs=8, num_steps=64, num_minibatches=2, update_epochs=2,
+                      total_timesteps=8 * 64 * 3, normalize_obs=True)
+    pool = trk.make_track_pool(trk.gen_tracks(2, seed=1), [8.0] * 2)
+    track = trk.gather_tracks(pool, np.arange(8) % 2)
+    tr = PPOTrainer(cfg, senv.RacingConfig(num_sensors=11), track)
+    tr.train()
+    path = str(tmp_path / "norm_agent.npz")
+    tr.save(path)
+
+    # bundle loader returns the statistics
+    from self_play_racing_tpu.evaluate import load_policy_bundle
+
+    params, log_std, norm = load_policy_bundle(path)
+    assert norm is not None
+    np.testing.assert_allclose(np.asarray(norm.mean),
+                               np.asarray(tr.runner.obs_norm.mean), rtol=1e-6)
+
+    # trainer.load restores it
+    tr2 = PPOTrainer(cfg, senv.RacingConfig(num_sensors=11), track)
+    tr2.load(path)
+    np.testing.assert_array_equal(np.asarray(tr2.runner.obs_norm.var),
+                                  np.asarray(tr.runner.obs_norm.var))
+
+    # serving applies it: Policy.act == policy(normalized obs), not policy(raw obs)
+    from self_play_racing_tpu.models import actor_critic as net
+    from self_play_racing_tpu.serve import Policy
+
+    p = Policy(path, deterministic=True)
+    raw = np.full((3, 15), 5.0, np.float32)
+    served = p.act(raw)
+    expect = np.asarray(net.deterministic_action(
+        params, obsnorm.apply(norm, jnp.asarray(raw))))
+    np.testing.assert_allclose(served, expect, atol=1e-6)
+    assert not np.allclose(
+        served, np.asarray(net.deterministic_action(params, jnp.asarray(raw))))
+
+    # eval rollout accepts the statistics end-to-end
+    from self_play_racing_tpu.utils import metrics as M
+
+    eps = jax.jit(
+        lambda t, k: M.rollout_single(params, log_std, senv.RacingConfig(num_sensors=11),
+                                      t, k, max_steps=64, obs_norm=norm)
+    )(track, jax.random.key(0))
+    assert np.isfinite(np.asarray(eps["total_reward"])).all()
