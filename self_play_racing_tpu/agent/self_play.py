@@ -79,6 +79,13 @@ class SelfPlayTrainer(PPOTrainer):
         )
         pool_log_std = jnp.zeros((cfg.pool_size, env_cfg.action_dim), jnp.float32)
         self.pool = {"params": pool_params, "log_std": pool_log_std}
+        if cfg.normalize_obs:
+            # each snapshot freezes the observation statistics it was trained on;
+            # opponents must act on that scale (envs.selfplay.opponent_actions)
+            self.pool["norm_mean"] = jnp.zeros((cfg.pool_size, env_cfg.obs_dim),
+                                               jnp.float32)
+            self.pool["norm_var"] = jnp.ones((cfg.pool_size, env_cfg.obs_dim),
+                                             jnp.float32)
 
         idx_shape = (cfg.num_envs,) if cfg.opponent_per_env else ()
         aux = {
@@ -86,6 +93,8 @@ class SelfPlayTrainer(PPOTrainer):
             "opp": {
                 "params": pool_params,
                 "log_std": pool_log_std,
+                "norm_mean": self.pool.get("norm_mean"),
+                "norm_var": self.pool.get("norm_var"),
                 "idx": jnp.zeros(idx_shape, jnp.int32),
                 "use_policy": jnp.zeros(idx_shape, bool),
             },
@@ -109,13 +118,18 @@ class SelfPlayTrainer(PPOTrainer):
         slot = self.num_snapshots % self.pool_size
         params = self.runner.train.params
         log_std = self.buffer_log_std
-        self.pool = {
+        new_pool = {
             "params": jax.tree.map(
                 lambda p, x: p.at[slot].set(x.astype(p.dtype)),
                 self.pool["params"], params,
             ),
             "log_std": self.pool["log_std"].at[slot].set(log_std),
         }
+        if "norm_mean" in self.pool:
+            norm = self.runner.obs_norm
+            new_pool["norm_mean"] = self.pool["norm_mean"].at[slot].set(norm.mean)
+            new_pool["norm_var"] = self.pool["norm_var"].at[slot].set(norm.var)
+        self.pool = new_pool
         self.num_snapshots += 1
 
     def select_opponent(self):
@@ -133,6 +147,8 @@ class SelfPlayTrainer(PPOTrainer):
         self.aux["opp"] = {
             "params": self.pool["params"],
             "log_std": self.pool["log_std"],
+            "norm_mean": self.pool.get("norm_mean"),
+            "norm_var": self.pool.get("norm_var"),
             "idx": jnp.asarray(idx),
             "use_policy": jnp.asarray(use),
         }

@@ -24,6 +24,9 @@ Semantics preserved:
 The opponent specification travels in the trainer's ``aux`` pytree:
   ``opp = {"params": stacked pool pytree [P, ...], "log_std": [P, act_dim],
            "idx": [N] int32 per-env pool index, "use_policy": [N] bool}``
+plus, when the trainer normalizes observations, ``"norm_mean"``/``"norm_var"``
+([P, obs_dim]): each frozen opponent applies the observation statistics captured
+at its own snapshot time — the policy was trained on that scale.
 """
 from __future__ import annotations
 
@@ -57,7 +60,16 @@ def opponent_actions(cfg: multi.MultiRacingConfig, opp, opp_obs, key):
     n = opp_obs.shape[0]
     k_noise, k_rand = jax.random.split(key)
 
-    mus = jax.vmap(net.actor_mu, in_axes=(0, None))(opp["params"], opp_obs)  # [P,N,2]
+    if opp.get("norm_mean") is not None:
+        # per-member normalization with the stats frozen at snapshot time
+        from . import normalize as obsnorm
+
+        member_obs = jax.vmap(
+            lambda m, v: obsnorm.apply(obsnorm.ObsNormState(m, v, None), opp_obs)
+        )(opp["norm_mean"], opp["norm_var"])                                  # [P,N,D]
+        mus = jax.vmap(net.actor_mu)(opp["params"], member_obs)               # [P,N,2]
+    else:
+        mus = jax.vmap(net.actor_mu, in_axes=(0, None))(opp["params"], opp_obs)  # [P,N,2]
     stds = jnp.exp(opp["log_std"])[:, None, :]                               # [P,1,2]
     noise = jax.random.normal(k_noise, mus.shape[1:], mus.dtype)
     acts = jnp.clip(mus + stds * noise, -1.0, 1.0)                           # [P,N,2]

@@ -87,3 +87,35 @@ def test_normalizer_persists_through_save_load_and_serving(tmp_path):
                                       t, k, max_steps=64, obs_norm=norm)
     )(track, jax.random.key(0))
     assert np.isfinite(np.asarray(eps["total_reward"])).all()
+
+
+def test_selfplay_pool_opponents_use_snapshot_time_statistics():
+    """Self-play + normalize_obs: each frozen pool opponent must act on
+    observations normalized with the statistics captured at ITS snapshot time —
+    raw observations are the wrong input scale for a normalized-trained policy."""
+    from self_play_racing_tpu.agent.self_play import SelfPlayTrainer
+    from self_play_racing_tpu.configs import self_play_config
+    from self_play_racing_tpu.envs import multi as menv
+    from self_play_racing_tpu.envs import selfplay as sp
+
+    cfg = self_play_config(num_envs=8, num_steps=32, num_minibatches=2,
+                           update_epochs=2, total_timesteps=8 * 32 * 4,
+                           snapshot_freq=1, pool_size=2, normalize_obs=True)
+    pool = trk.make_track_pool(trk.gen_tracks(2, seed=1), [8.0] * 2)
+    track = trk.gather_tracks(pool, np.arange(8) % 2)
+    env_cfg = menv.MultiRacingConfig(num_agents=2, num_sensors=11)
+    tr = SelfPlayTrainer(cfg, env_cfg, track)
+    info = tr.train()
+    assert np.isfinite(info["rewards"]).all()
+
+    # snapshots carried their normalizer stats (slot 0 written at update >= 1)
+    assert "norm_mean" in tr.pool
+    assert float(np.abs(np.asarray(tr.pool["norm_mean"][0])).max()) > 0.0
+
+    # opponent actions actually change when the stats are applied
+    obs = jnp.asarray(np.random.RandomState(0).randn(8, env_cfg.obs_dim), jnp.float32)
+    opp = dict(tr.aux["opp"])
+    with_norm = sp.opponent_actions(env_cfg, opp, obs, jax.random.key(1))
+    opp_raw = dict(opp, norm_mean=None, norm_var=None)
+    without = sp.opponent_actions(env_cfg, opp_raw, obs, jax.random.key(1))
+    assert not np.allclose(np.asarray(with_norm), np.asarray(without))
