@@ -20,3 +20,35 @@ Layer map (mirrors reference layers, see SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+# Lazy top-level exports of the main user-facing entry points; resolved on first
+# access so that `import self_play_racing_tpu` stays light and optional deps
+# (gymnasium for the adapters, cv2/pygame for viz) are only touched when used.
+_EXPORTS = {
+    "PPOConfig": ".configs",
+    "base_config": ".configs",
+    "self_play_config": ".configs",
+    "PPOTrainer": ".agent.trainer",
+    "SelfPlayTrainer": ".agent.self_play",
+    "RacingEnv": ".envs.gym_adapter",
+    "MultiRacingEnv": ".envs.gym_adapter",
+    "SelfPlayWrapper": ".envs.gym_adapter",
+    "Policy": ".serve",
+    "load_policy": ".evaluate",
+    "load_policy_bundle": ".evaluate",
+}
+
+__all__ = sorted(_EXPORTS) + ["__version__"]
+
+
+def __getattr__(name):
+    target = _EXPORTS.get(name)
+    if target is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(target, __name__), name)
+
+
+def __dir__():
+    return __all__

@@ -68,3 +68,10 @@ def test_train_scale_entry_smoke(tmp_path, monkeypatch):
     assert tr.cfg.opponent_per_env and not tr.cfg.reset_envs_each_update
     assert tr.pool_count == 2
     assert (tmp_path / "scale.npz").exists() and (tmp_path / "info.json").exists()
+
+
+def test_top_level_exports_resolve():
+    import self_play_racing_tpu as spr
+
+    for name in spr.__all__:
+        assert getattr(spr, name) is not None
