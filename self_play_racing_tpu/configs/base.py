@@ -69,6 +69,28 @@ class PPOConfig:
     opponent_per_env: bool = False
     reset_envs_each_update: bool = False
 
+    def __post_init__(self):
+        if self.num_envs <= 0 or self.num_steps <= 0:
+            raise ValueError(
+                f"num_envs={self.num_envs} and num_steps={self.num_steps} must be positive"
+            )
+        if self.batch_size % self.num_minibatches != 0:
+            raise ValueError(
+                f"batch_size={self.batch_size} (num_steps*num_envs) must be divisible "
+                f"by num_minibatches={self.num_minibatches} — the flattened rollout is "
+                f"split into equal minibatches"
+            )
+        if self.total_timesteps < self.batch_size:
+            raise ValueError(
+                f"total_timesteps={self.total_timesteps} is less than one batch "
+                f"({self.batch_size}): num_updates would be 0"
+            )
+        if (self.snapshot_freq > 0) != (self.pool_size > 0):
+            raise ValueError(
+                f"snapshot_freq={self.snapshot_freq} and pool_size={self.pool_size} "
+                f"must be enabled together (both > 0) or both 0"
+            )
+
     @property
     def batch_size(self) -> int:
         return self.num_steps * self.num_envs

@@ -54,3 +54,16 @@ def test_default_aux_stays_plain_track():
     track = trk.gather_tracks(pool, [0] * 4)
     tr = PPOTrainer(cfg, senv.RacingConfig(num_sensors=11), track)
     assert not isinstance(tr.aux, dict)  # parity default: constant 8.0, no dict wrap
+
+
+def test_config_validation_rejects_bad_shapes():
+    import pytest
+    from self_play_racing_tpu.configs import base_config
+
+    with pytest.raises(ValueError, match="divisible"):
+        base_config(num_envs=10, num_steps=10, num_minibatches=16,
+                    total_timesteps=10_000)
+    with pytest.raises(ValueError, match="less than one batch"):
+        base_config(num_envs=16, num_steps=2048, total_timesteps=100)
+    with pytest.raises(ValueError, match="enabled together"):
+        base_config(snapshot_freq=5, pool_size=0, total_timesteps=10_000_000)
