@@ -15,14 +15,16 @@ Layout: grid over env blocks; rays statically unrolled inside the kernel so the
 block's geometry row and the ray-independent cross term are computed once and reused
 across all sensors.
 
-Measured on one v5e chip (4096 envs, 11 rays, 896 segments, 64-step scan): the XLA
-path runs ~1.6x faster (40ms vs 64ms per scan) — XLA's fusion of this
-elementwise+reduce pattern is already at the VPU roofline, and the per-env geometry
-reads it issues are not bandwidth-limiting at this scale. This kernel therefore is
-NOT the default; its value is the memory layout: geometry stays [num_tracks, S]
-instead of [num_envs, S], which matters when scaling the env batch far beyond the
-track-pool size (e.g. 100K+ envs) where per-env gathered geometry would dominate HBM.
-Outputs are bit-identical to the XLA path on TPU.
+Measured on one v5e chip (11 rays, 896 segments, 128-step scans, tunnel floor
+subtracted): the fused XLA path wins at every batch size tested — ~47 vs ~76 ns
+per env-step at 4096 envs, ~45 vs ~60 at 16384, ~52 vs ~69 at 65536. XLA's fusion
+of this elementwise+reduce pattern runs at the VPU roofline, and its per-env
+geometry reads stay hidden under the compute even at 64K envs. This kernel is
+therefore NOT the default at any measured scale; it is kept as (a) the HBM
+*capacity* path — geometry stays [num_tracks, S] instead of [num_envs, S], a
+num_envs/num_tracks footprint reduction that matters when per-env gathered
+geometry would not fit — and (b) a worked TPU-Pallas example of scalar-prefetched
+block->row DMA. Outputs are bit-identical to the XLA path on TPU.
 """
 from __future__ import annotations
 
