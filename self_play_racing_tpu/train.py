@@ -43,7 +43,8 @@ def make_training_pool(cfg, dtype=jnp.float32):
 
 
 def train_multi(total_timesteps=None, num_envs=None, out="models/self_play_agent.npz",
-                checkpoint_dir="models", num_updates=None, **cfg_overrides):
+                checkpoint_dir="models", num_updates=None, resume_from=None,
+                **cfg_overrides):
     overrides = dict(cfg_overrides)
     if total_timesteps:
         overrides["total_timesteps"] = total_timesteps
@@ -62,7 +63,8 @@ def train_multi(total_timesteps=None, num_envs=None, out="models/self_play_agent
           f"Batch: {cfg.batch_size:,} | Updates: {cfg.num_updates} | "
           f"Snapshot freq: {cfg.snapshot_freq} | Pool: {cfg.pool_size}")
     trainer = SelfPlayTrainer(cfg, env_cfg, track)
-    trainer.train(num_updates=num_updates, checkpoint_dir=checkpoint_dir)
+    trainer.train(num_updates=num_updates, checkpoint_dir=checkpoint_dir,
+                  resume_from=resume_from)
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     trainer.save(out)
     os.makedirs("data", exist_ok=True)
@@ -185,13 +187,16 @@ def main(argv=None):
     p.add_argument("--num-envs", type=int, default=None)
     p.add_argument("--num-updates", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--resume", default=None, metavar="CKPT",
+                   help="multi mode: resume from a full checkpoint "
+                        "(e.g. models/checkpoint_update_30)")
     args = p.parse_args(argv)
     kw = {}
     if args.seed is not None:
         kw["seed"] = args.seed
     if args.mode in ("multi", "all"):
         train_multi(args.total_timesteps, args.num_envs,
-                    num_updates=args.num_updates, **kw)
+                    num_updates=args.num_updates, resume_from=args.resume, **kw)
     if args.mode in ("single", "all"):
         train_single(args.total_timesteps, args.num_envs,
                      num_updates=args.num_updates, **kw)
