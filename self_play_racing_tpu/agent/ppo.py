@@ -98,20 +98,25 @@ def init_train_state(key, cfg: PPOConfig, obs_dim: int, action_dim: int) -> Trai
 
 def init_runner(key, cfg: PPOConfig, hooks: EnvHooks, aux, obs_dim: int,
                 action_dim: int) -> RunnerState:
-    k_net, k_env, k_run = jax.random.split(key, 3)
+    # four children: init / env-reset / vector / the carried rollout chain.
+    # The carry must be its own child — jax.random.split is prefix-stable
+    # (split(k, 2)[i] == split(k, 3)[i]), so carrying the PARENT key would make
+    # the first rollout's splits replay k_net/k_env and correlate action noise
+    # with the weight-init and reset streams.
+    k_net, k_env, k_vec, k_carry = jax.random.split(key, 4)
     train = init_train_state(k_net, cfg, obs_dim, action_dim)
     env_state = hooks.reset(aux, k_env)
     if hooks.refresh is not None:
         env_state, obs = hooks.refresh(aux, env_state)
     else:
         obs = hooks.observe(aux, env_state)
-    vec_state = vector.init(env_state, cfg.num_envs, k_run)
+    vec_state = vector.init(env_state, cfg.num_envs, k_vec)
     return RunnerState(
         train=train,
         vec=vec_state,
         obs=obs.astype(jnp.float32),
         done=jnp.zeros((cfg.num_envs,), bool),
-        key=key,
+        key=k_carry,
         obs_norm=obsnorm.init(obs_dim),
     )
 

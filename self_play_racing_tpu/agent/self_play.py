@@ -183,7 +183,14 @@ class SelfPlayTrainer(PPOTrainer):
     # ---- checkpoint / resume (self_play_ppo.py:52-68, 154-167) ----------------
 
     def _ckpt_tree(self):
-        return {"train": self.runner.train, "pool": self.pool}
+        tree = {"train": self.runner.train, "pool": self.pool}
+        if self.cfg.normalize_obs:
+            # the learner's running observation statistics are trained state; a
+            # resume without them would feed the policy mis-scaled inputs until
+            # they re-converge. Conditional so pre-existing (non-normalized)
+            # checkpoints keep their layout.
+            tree["obs_norm"] = self.runner.obs_norm
+        return tree
 
     def save_checkpoint(self, path: str):
         meta = {
@@ -199,6 +206,8 @@ class SelfPlayTrainer(PPOTrainer):
     def load_checkpoint(self, path: str):
         tree, meta = ckpt.load_pytree(path, self._ckpt_tree())
         self.runner = self.runner.replace(train=tree["train"])
+        if "obs_norm" in tree:
+            self.runner = self.runner.replace(obs_norm=tree["obs_norm"])
         self.pool = tree["pool"]
         self.num_snapshots = int(meta["num_snapshots"])
         self._host_update = int(self.runner.train.update)

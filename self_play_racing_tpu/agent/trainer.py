@@ -106,6 +106,7 @@ class PPOTrainer:
         cfg = self.cfg
         total = cfg.num_updates if num_updates is None else num_updates
         self._host_update = int(self.runner.train.update)
+        start_gstep = self._host_update * cfg.batch_size  # steps before this call
         t0 = time.perf_counter()
 
         def consume(m_dev):
@@ -118,7 +119,9 @@ class PPOTrainer:
                 self.training_info["rewards"].append(float(m["mean_ep_return"]))
                 if update % log_every == 0:
                     dt = time.perf_counter() - t0
-                    sps = gstep / dt
+                    # rate over THIS call only — after a resume, gstep includes
+                    # steps trained before t0
+                    sps = (gstep - start_gstep) / dt
                     print(
                         f"Update {update}/{cfg.num_updates} | Step {gstep} | "
                         f"Episodes: {int(m['episodes'])} | "

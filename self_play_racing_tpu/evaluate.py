@@ -42,7 +42,13 @@ def load_policy_bundle(path):
     data = np.load(path, allow_pickle=False)
     n = sum(1 for k in data.files if k.startswith("p") and k[1:].isdigit())
     flat = [jnp.asarray(data[f"p{i}"]) for i in range(n)]
-    template = net.init_params(jax.random.key(0), 1, 1)
+    # infer the tower depth from the leaf count: 2 towers x L layers x (w, b)
+    # leaves, so checkpoints from any cfg.hidden depth load (treedef depends only
+    # on the layer count, not shapes)
+    if n % 4 != 0:
+        raise ValueError(f"{path}: {n} parameter arrays is not 2 towers of (w, b) layers")
+    layers = n // 4
+    template = net.init_params(jax.random.key(0), 1, 1, hidden=(1,) * (layers - 1))
     treedef = jax.tree.structure(template)
     params = jax.tree.unflatten(treedef, flat)
     obs_norm = None

@@ -171,9 +171,10 @@ def rollout_multi(params, log_std, env_cfg: menv.MultiRacingConfig,
         return acc
 
     acc = run(params, log_std, track, key)
-    # chosen car: first finished car, else car 0 (utils/metrics.py:138-150)
+    # chosen car: first finished car, else car 0 (utils/metrics.py:138-150);
+    # argmax over the seat axis = first True, and 0 when none finished
     fin = np.asarray(acc["finished"])
-    chosen = np.where(fin[:, 0], 0, np.where(fin[:, 1], 1, 0)) if a >= 2 else np.zeros(n, int)
+    chosen = fin.argmax(axis=1)
     sel = lambda x: np.asarray(x)[np.arange(n), chosen]
     out = {k: sel(v) for k, v in acc.items() if k != "steps"}
     out["steps"] = np.asarray(acc["steps"])

@@ -119,3 +119,28 @@ def test_selfplay_pool_opponents_use_snapshot_time_statistics():
     opp_raw = dict(opp, norm_mean=None, norm_var=None)
     without = sp.opponent_actions(env_cfg, opp_raw, obs, jax.random.key(1))
     assert not np.allclose(np.asarray(with_norm), np.asarray(without))
+
+
+def test_full_checkpoint_resume_preserves_normalizer(tmp_path):
+    """Full training checkpoints of normalize_obs runs must carry the learner's
+    running statistics — a resume that reset them would feed mis-scaled inputs."""
+    from self_play_racing_tpu.agent.self_play import SelfPlayTrainer
+    from self_play_racing_tpu.configs import self_play_config
+    from self_play_racing_tpu.envs import multi as menv
+
+    cfg = self_play_config(num_envs=8, num_steps=32, num_minibatches=2,
+                           update_epochs=2, total_timesteps=8 * 32 * 3,
+                           snapshot_freq=1, pool_size=2, normalize_obs=True)
+    pool = trk.make_track_pool(trk.gen_tracks(2, seed=1), [8.0] * 2)
+    track = trk.gather_tracks(pool, np.arange(8) % 2)
+    env_cfg = menv.MultiRacingConfig(num_agents=2, num_sensors=11)
+    tr = SelfPlayTrainer(cfg, env_cfg, track)
+    tr.train()
+    path = str(tmp_path / "ckpt")
+    tr.save_checkpoint(path)
+
+    tr2 = SelfPlayTrainer(cfg, env_cfg, track)
+    tr2.load_checkpoint(path)
+    np.testing.assert_array_equal(np.asarray(tr2.runner.obs_norm.mean),
+                                  np.asarray(tr.runner.obs_norm.mean))
+    assert float(tr2.runner.obs_norm.count) == float(tr.runner.obs_norm.count)

@@ -75,3 +75,54 @@ def test_top_level_exports_resolve():
 
     for name in spr.__all__:
         assert getattr(spr, name) is not None
+
+
+def test_nondefault_tower_depth_checkpoint_roundtrip(tmp_path):
+    """Policies saved with non-default hidden towers load through the bundle
+    loader (architecture inferred from the leaf count) and serve correctly."""
+    import jax
+    import jax.numpy as jnp
+    from self_play_racing_tpu.evaluate import load_policy_bundle
+    from self_play_racing_tpu.models import actor_critic as net
+    from self_play_racing_tpu.serve import Policy
+
+    cfg = base_config(num_envs=4, num_steps=32, num_minibatches=2, update_epochs=2,
+                      total_timesteps=4 * 32 * 2, hidden=(32, 32, 32))
+    pool = trk.default_track_pool()
+    track = trk.gather_tracks(pool, [0] * 4)
+    tr = PPOTrainer(cfg, senv.RacingConfig(num_sensors=11), track)
+    tr.train(num_updates=1)
+    path = str(tmp_path / "deep.npz")
+    tr.save(path)
+
+    params, log_std, _ = load_policy_bundle(path)
+    assert len(params["actor"]) == 4  # 3 hidden + output
+    obs = jnp.zeros((2, 15), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(net.deterministic_action(params, obs)),
+        np.asarray(net.deterministic_action(tr.params, obs)), atol=1e-7)
+    p = Policy(path)
+    assert p.act(np.zeros((2, 15), np.float32)).shape == (2, 2)
+
+
+def test_runner_carry_key_is_independent_child():
+    """The rollout carry key must be its own split child: jax.random.split is
+    prefix-stable, so carrying the parent would replay the init/reset keys as
+    the first rollout's action-noise keys."""
+    import jax
+    from self_play_racing_tpu.agent import ppo as jppo
+    from self_play_racing_tpu.agent.trainer import make_single_env_hooks
+
+    cfg = base_config(num_envs=4, num_steps=8, num_minibatches=2, update_epochs=1,
+                      total_timesteps=4 * 8 * 2)
+    pool = trk.default_track_pool()
+    track = trk.gather_tracks(pool, [0] * 4)
+    hooks = make_single_env_hooks(senv.RacingConfig(num_sensors=11))
+    key = jax.random.key(7)
+    runner = jppo.init_runner(key, cfg, hooks, track, 15, 2)
+    carried = jax.random.key_data(runner.key)
+    parent_and_children = [jax.random.key_data(key)] + [
+        jax.random.key_data(k) for k in jax.random.split(key, 3)
+    ]
+    for other in parent_and_children:
+        assert not np.array_equal(np.asarray(carried), np.asarray(other))
