@@ -44,6 +44,10 @@ def make_single_env_hooks(env_cfg: senv.RacingConfig) -> ppo.EnvHooks:
     return ppo.EnvHooks(reset=reset, transition=transition, observe=observe)
 
 
+class DivergenceError(RuntimeError):
+    """Training produced non-finite losses (see PPOTrainer.train(on_divergence=...))."""
+
+
 class PPOTrainer:
     """Single-agent PPO trainer (reference PPO class equivalent, ppo.py:65-293).
 
@@ -92,8 +96,14 @@ class PPOTrainer:
                                     self.env_cfg.action_dim)[2]
 
     def train(self, num_updates: Optional[int] = None, log_every: int = 1,
-              on_update=None):
+              on_update=None, on_divergence: str = "raise"):
         """Run the update loop; mirrors reference logging (ppo.py:270-280).
+
+        ``on_divergence``: what to do when an update produces non-finite losses
+        (the closest thing to failure detection this workload needs): ``"raise"``
+        (default) aborts with a DivergenceError naming the update, ``"warn"``
+        logs and continues. Periodic checkpoints (self-play) make raise+resume
+        the recovery path.
 
         The metrics of update N are consumed (host transfer + logging + the
         ``_post_update``/``on_update`` hooks) only *after* update N+1 has been
@@ -112,6 +122,13 @@ class PPOTrainer:
         def consume(m_dev):
             m = ppo.unpack_metrics(m_dev)
             update = int(m["update"]) + 1
+            if not (np.isfinite(m["pg_loss"]) and np.isfinite(m["v_loss"])
+                    and np.isfinite(m["mean_reward"])):
+                msg = (f"non-finite losses at update {update}: "
+                       f"pg={m['pg_loss']} v={m['v_loss']} r={m['mean_reward']}")
+                if on_divergence == "raise":
+                    raise DivergenceError(msg)
+                print(f"WARNING: {msg}")
             # derived on host: the packed f32 copy loses exactness past 2^24 steps
             gstep = update * cfg.batch_size
             if int(m["episodes"]) > 0:

@@ -126,3 +126,29 @@ def test_runner_carry_key_is_independent_child():
     ]
     for other in parent_and_children:
         assert not np.array_equal(np.asarray(carried), np.asarray(other))
+
+
+def test_divergence_detection(tmp_path):
+    """A pathological learning rate blows the policy up; the train loop's
+    divergence guard must name the failure instead of silently logging NaNs."""
+    import pytest
+    from self_play_racing_tpu.agent.trainer import DivergenceError
+
+    import jax
+
+    cfg = base_config(num_envs=4, num_steps=32, num_minibatches=2, update_epochs=2,
+                      total_timesteps=4 * 32 * 2)
+    pool = trk.default_track_pool()
+    track = trk.gather_tracks(pool, [0] * 4)
+
+    def poison(tr):
+        bad = jax.tree.map(lambda x: x * np.nan, tr.runner.train.params)
+        tr.runner = tr.runner.replace(train=tr.runner.train.replace(params=bad))
+        return tr
+
+    tr = poison(PPOTrainer(cfg, senv.RacingConfig(num_sensors=11), track))
+    with pytest.raises(DivergenceError):
+        tr.train()
+    # warn mode keeps going
+    tr2 = poison(PPOTrainer(cfg, senv.RacingConfig(num_sensors=11), track))
+    tr2.train(on_divergence="warn")
