@@ -195,9 +195,12 @@ def observe(cfg: MultiRacingConfig, track: TrackArrays, state: MultiState) -> jn
             lvx = jnp.clip((rel_vx * ca[:, i] + rel_vy * sa[:, i]) / max_speed, -1.0, 1.0)
             lvy = jnp.clip((-rel_vx * sa[:, i] + rel_vy * ca[:, i]) / max_speed, -1.0, 1.0)
             per_opp.append(jnp.stack([lrx, lry, lvx, lvy], axis=-1))  # [N, 4]
-        opp_blocks.append(jnp.concatenate(per_opp, axis=-1))          # [N, 4*(A-1)]
+        opp_blocks.append(jnp.concatenate(per_opp, axis=-1)          # [N, 4*(A-1)]
+                          if per_opp else jnp.zeros((n, 0), dtype))
     opp = jnp.stack(opp_blocks, axis=1)                               # [N, A, 4*(A-1)]
 
+    # a == 1 gives an empty opponent block, like the reference's empty
+    # opp_features list under np.concatenate (multi_racing_env.py:60-105)
     return jnp.concatenate(
         [rays, feats.astype(jnp.float32), opp.astype(jnp.float32)], axis=-1
     )

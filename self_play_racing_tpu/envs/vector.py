@@ -75,7 +75,15 @@ def step(
 
     Returns (new_vstate, obs, reward, done, episode_record) where episode_record is a
     dict with ``return``/``length``/``mask`` for episodes that finished this step
-    (mask False rows are padding, mirroring the ``_episode`` mask at ppo.py:124).
+    (mask False rows are padding, mirroring the ``_episode`` mask at ppo.py:124),
+    plus ``autoreset``: True for rows where this step was the reset transition.
+
+    CAVEAT (documented divergence from Gymnasium NEXT_STEP): on an autoreset row,
+    ``info`` comes from the phantom transition of the terminated state (the env
+    step still executes before the reset state is merged in), whereas Gymnasium
+    returns the reset's info. reward/done/obs ARE correctly masked; consumers of
+    ``info`` must gate on ``record["autoreset"]``. The training path never reads
+    info, and the eval rollouts use done-latching instead of this wrapper.
     """
     do_reset = vstate.pending_reset
     key, reset_key, step_key = jax.random.split(vstate.key, 3)
@@ -105,7 +113,8 @@ def step(
     stats = vstate.stats
     ep_return = stats.ep_return + reward.astype(stats.ep_return.dtype)
     ep_length = stats.ep_length + jnp.where(do_reset, 0, 1).astype(jnp.int32)
-    record = {"return": ep_return, "length": ep_length, "mask": done}
+    record = {"return": ep_return, "length": ep_length, "mask": done,
+              "autoreset": do_reset}
     new_stats = EpisodeStats(
         ep_return=jnp.where(done, 0.0, ep_return).astype(ep_return.dtype),
         ep_length=jnp.where(done, 0, ep_length),

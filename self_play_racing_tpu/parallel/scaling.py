@@ -71,7 +71,14 @@ def main(argv=None):
     total = len(jax.devices())
     if args.max_devices:
         total = min(total, args.max_devices)
-    sizes = [n for n in (1, 2, 4, 8, 16, 32, 64) if n <= total]
+    if jax.process_count() > 1:
+        # multi-controller: every process must participate in every collective, so
+        # a mesh over a device-prefix (which excludes some hosts' devices) would
+        # desync the processes. Measure only the full mesh; sweep sub-sizes by
+        # launching on smaller slices.
+        sizes = [total]
+    else:
+        sizes = [n for n in (1, 2, 4, 8, 16, 32, 64) if n <= total]
     results = []
     for n in sizes:
         r = measure(n, args.envs_per_device, args.num_steps)

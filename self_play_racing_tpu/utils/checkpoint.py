@@ -49,6 +49,12 @@ def _to_host(flat):
     return out
 
 
+def _meta_path(path: str) -> str:
+    """Sidecar path shared by save and load: <path without .npz>.meta.json."""
+    base = path[:-4] if path.endswith(".npz") else path
+    return base + ".meta.json"
+
+
 def save_pytree(path: str, tree, meta: dict | None = None):
     """Save an arbitrary pytree of arrays + a JSON-serializable ``meta`` dict."""
     flat = jax.tree.leaves(tree)
@@ -56,7 +62,7 @@ def save_pytree(path: str, tree, meta: dict | None = None):
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez(path, n_leaves=len(host), **{f"leaf_{i}": x for i, x in enumerate(host)})
     if meta is not None:
-        with open(path + ".meta.json", "w") as f:
+        with open(_meta_path(path), "w") as f:
             json.dump(meta, f)
 
 
@@ -70,13 +76,22 @@ def load_pytree(path: str, template):
     data = np.load(path, allow_pickle=False)
     n = int(data["n_leaves"])
     flat = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
-    treedef = jax.tree.structure(template)
+    tpl_flat, treedef = jax.tree.flatten(template)
     if treedef.num_leaves != n:
         raise ValueError(
             f"checkpoint has {n} leaves but template expects {treedef.num_leaves}"
         )
+    # _to_host stored typed PRNG keys as raw key_data; rewrap where the template
+    # has a typed key leaf so the round trip is symmetric
+    flat = [
+        jax.random.wrap_key_data(x) if (
+            hasattr(t, "dtype") and jnp.issubdtype(jnp.asarray(t).dtype,
+                                                   jax.dtypes.prng_key)
+        ) else x
+        for t, x in zip(tpl_flat, flat)
+    ]
     tree = jax.tree.unflatten(treedef, flat)
-    meta_path = (path[:-4] if path.endswith(".npz") else path) + ".meta.json"
+    meta_path = _meta_path(path)
     meta = {}
     if os.path.exists(meta_path):
         with open(meta_path) as f:

@@ -90,3 +90,42 @@ def test_multi_env_invariants_under_fuzz():
             )
             prev_crashed = np.asarray(state.crashed)
     assert dones > 0
+
+
+def test_checkpoint_npz_path_and_key_roundtrip(tmp_path):
+    """save/load agree on the meta sidecar for .npz-suffixed paths, and typed
+    PRNG key leaves survive the round trip (rewrapped from raw key_data)."""
+    import jax
+    import jax.numpy as jnp
+    from self_play_racing_tpu.utils import checkpoint as ckpt
+
+    tree = {"w": jnp.arange(6.0).reshape(2, 3), "key": jax.random.key(42)}
+    path = str(tmp_path / "state.npz")
+    ckpt.save_pytree(path, tree, {"tag": 7})
+    out, meta = ckpt.load_pytree(path, tree)
+    assert meta == {"tag": 7}
+    np.testing.assert_array_equal(np.asarray(out["w"]), np.asarray(tree["w"]))
+    # the restored key must be a *typed* key usable by jax.random
+    k1, k2 = jax.random.split(out["key"])
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(out["key"])),
+        np.asarray(jax.random.key_data(tree["key"])))
+
+
+def test_multi_env_single_agent_config():
+    """num_agents=1 is a valid MultiRacingEnv configuration (empty opponent
+    block, like the reference's empty opp_features concatenate)."""
+    import jax
+    import jax.numpy as jnp
+    from self_play_racing_tpu.envs import multi as menv
+    from self_play_racing_tpu.envs import track as trk
+
+    cfg = menv.MultiRacingConfig(num_agents=1, num_sensors=11)
+    pool = trk.default_track_pool()
+    track = trk.gather_tracks(pool, [0, 0])
+    state, obs = menv.reset(cfg, track, key=jax.random.key(0))
+    assert obs.shape == (2, 1, cfg.obs_dim)
+    state, obs2, rew, term, trunc, info = menv.step(
+        cfg, track, state, jnp.zeros((2, 1, 2), jnp.float32))
+    assert obs2.shape == (2, 1, cfg.obs_dim)
+    assert np.isfinite(np.asarray(rew)).all()
