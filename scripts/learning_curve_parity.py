@@ -71,9 +71,8 @@ def run_reference(updates: int):
                             track_width=widths[i])
 
     trainer = RefPPO(env_fn, config, device="cpu")
-    # RefPPO.train dumps its own json; capture the curve from the same loop by
-    # re-reading its training_info dump is brittle — instead run train() and
-    # read the file it writes (data/training_info_single_3.json, ppo.py:284).
+    # RefPPO.train writes its curve to data/training_info_single_3.json
+    # (ppo.py:284); run it in a temp cwd and read that file back.
     cwd = os.getcwd()
     import tempfile
 

@@ -206,20 +206,12 @@ class PPOTrainer:
         )
 
     def load(self, path: str):
-        data = np.load(path, allow_pickle=False)
-        n = sum(1 for k in data.files if k.startswith("p") and k[1:].isdigit())
-        flat = [jnp.asarray(data[f"p{i}"]) for i in range(n)]
-        treedef = jax.tree.structure(self.runner.train.params)
-        params = jax.tree.unflatten(treedef, flat)
-        runner = self.runner.replace(train=self.runner.train.replace(params=params))
-        if "obs_mean" in data.files:
-            from ..envs import normalize as obsnorm
+        from ..evaluate import load_policy_bundle
 
-            runner = runner.replace(obs_norm=obsnorm.ObsNormState(
-                mean=jnp.asarray(data["obs_mean"]),
-                var=jnp.asarray(data["obs_var"]),
-                count=jnp.asarray(data["obs_count"]),
-            ))
+        params, _, obs_norm = load_policy_bundle(path)
+        runner = self.runner.replace(train=self.runner.train.replace(params=params))
+        if obs_norm is not None:
+            runner = runner.replace(obs_norm=obs_norm)
         self.runner = runner
 
     def save_training_info(self, path: str):

@@ -202,13 +202,13 @@ class SelfPlayWrapper(gym.Wrapper):
             super().__init__(env)
         self.env = env
         self.agent_id = agent_id
-        self._key = str(agent_id)
+        self._agent_key = str(agent_id)
         self.curr_opponent = None
         self.last_obs_dict = None
         self._rng = jax.random.key(0)
         if _GYM:
-            self.action_space = env.action_space[self._key]
-            self.observation_space = env.observation_space[self._key]
+            self.action_space = env.action_space[self._agent_key]
+            self.observation_space = env.observation_space[self._agent_key]
 
     def set_opponent(self, opponent):
         self.curr_opponent = opponent
@@ -232,15 +232,15 @@ class SelfPlayWrapper(gym.Wrapper):
     def reset(self, seed=None, options=None):
         obs, infos = self.env.reset(seed=seed, options=options)
         self.last_obs_dict = obs
-        return obs[self._key], infos[self._key]
+        return obs[self._agent_key], infos[self._agent_key]
 
     def step(self, action):
-        actions = {self._key: np.asarray(action, np.float32)}
+        actions = {self._agent_key: np.asarray(action, np.float32)}
         for i in range(self.env.num_agents):
             k = f"{i}"
-            if k != self._key:
+            if k != self._agent_key:
                 actions[k] = self._opponent_action(self.last_obs_dict[k])
         obs, rewards, dones, truncated, infos = self.env.step(actions)
         self.last_obs_dict = obs
-        return (obs[self._key], rewards[self._key], dones["__all__"], truncated,
-                infos[self._key])
+        return (obs[self._agent_key], rewards[self._agent_key], dones["__all__"],
+                truncated, infos[self._agent_key])

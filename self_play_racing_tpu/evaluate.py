@@ -69,11 +69,11 @@ def evaluate_single_agent_overall(grid, model_path, num_tracks=40, num_runs=5,
     params, log_std, obs_norm = load_policy_bundle(model_path)
     track, track_ids, run_ids = grid
     env_cfg = senv.RacingConfig(num_sensors=11)
-    eps = jax.jit(
-        lambda tr, key: M.rollout_single(params, log_std, env_cfg, tr, key,
-                                         max_steps=2000, deterministic=deterministic,
-                                         obs_norm=obs_norm)
-    )(track, jax.random.key(seed))
+    # rollout_single/rollout_multi jit internally (one cached program per
+    # env_cfg/horizon/mode, shared across models) with the track as an argument
+    eps = M.rollout_single(params, log_std, env_cfg, track, jax.random.key(seed),
+                           max_steps=2000, deterministic=deterministic,
+                           obs_norm=obs_norm)
     eps = {k: np.asarray(v) for k, v in eps.items()}
     results = M.aggregate(eps)
     results["all_episodes"] = [
@@ -91,8 +91,6 @@ def evaluate_multi_agent_overall(grid, model_path, num_tracks=40, num_runs=5,
     params, log_std, obs_norm = load_policy_bundle(model_path)
     track, track_ids, run_ids = grid
     env_cfg = menv.MultiRacingConfig(num_agents=2, num_sensors=11)
-    # rollout_multi jits its device scan internally with the track as an argument
-    # (its finished-car selection tail runs on host, so it can't be jitted whole)
     eps = M.rollout_multi(params, log_std, env_cfg, track, jax.random.key(seed),
                           max_steps=3000, deterministic=deterministic,
                           obs_norm=obs_norm)

@@ -20,6 +20,8 @@ over successful episodes only, steps-per-progress over episodes with progress > 
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -42,82 +44,91 @@ def _policy_action(params, log_std, obs, key, deterministic, obs_norm=None):
     return action
 
 
+@functools.lru_cache(maxsize=None)
+def _rollout_single_jit(env_cfg: senv.RacingConfig, max_steps: int,
+                        deterministic: bool):
+    """One jitted rollout program per (env_cfg, horizon, mode) — reused across
+    models so evaluating N policies compiles once, not N times. The track (and
+    params / optional obs_norm) are arguments, never closure constants."""
+
+    def run(params, log_std, track, key, obs_norm):
+        state, obs = senv.reset(env_cfg, track)
+        n = obs.shape[0]
+        f32 = jnp.float32
+
+        def body(carry, key):
+            state, obs, active, acc = carry
+            action = _policy_action(params, log_std, obs.astype(f32), key,
+                                    deterministic, obs_norm)
+            nstate, nobs, rew, term, trunc, info = senv.step(env_cfg, track, state, action)
+            done = term | trunc
+            step_dist = jnp.sqrt(
+                (info["x"] - state.car.x) ** 2 + (info["y"] - state.car.y) ** 2
+            )
+            first_step = acc["steps"] == 0
+            acc = {
+                "total_reward": acc["total_reward"] + jnp.where(active, rew, 0.0),
+                "steps": acc["steps"] + jnp.where(active, 1, 0),
+                "total_distance": acc["total_distance"]
+                + jnp.where(active & ~first_step, step_dist, 0.0),
+                "progress": jnp.where(active, info["progress"], acc["progress"]),
+                "finished": jnp.where(active, info["finished"], acc["finished"]),
+                "crashed": jnp.where(active, info["crashed"], acc["crashed"]),
+                "speed": jnp.where(active, info["speed"], acc["speed"]),
+            }
+            active = active & ~done
+            # frozen state once inactive so nothing drifts after the episode ends
+            nstate = jax.tree.map(
+                lambda new, old: jnp.where(
+                    jnp.reshape(active, active.shape + (1,) * (new.ndim - 1)), new, old
+                ),
+                nstate, state,
+            )
+            nobs = jnp.where(active[:, None], nobs, obs)
+            return (nstate, nobs, active, acc), None
+
+        dtype = state.car.x.dtype
+        acc0 = {
+            "total_reward": jnp.zeros((n,), dtype),
+            "steps": jnp.zeros((n,), jnp.int32),
+            "total_distance": jnp.zeros((n,), dtype),
+            "progress": jnp.zeros((n,), dtype),
+            "finished": jnp.zeros((n,), bool),
+            "crashed": jnp.zeros((n,), bool),
+            "speed": jnp.zeros((n,), dtype),
+        }
+        keys = jax.random.split(key, max_steps)
+        (state, obs, active, acc), _ = jax.lax.scan(
+            body, (state, obs, jnp.ones((n,), bool), acc0), keys
+        )
+        acc["distance_per_step"] = jnp.where(
+            acc["steps"] > 1, acc["total_distance"] / acc["steps"], 0.0
+        )
+        return acc
+
+    return jax.jit(run)
+
+
 def rollout_single(params, log_std, env_cfg: senv.RacingConfig, track: trk.TrackArrays,
                    key, max_steps: int = 2000, deterministic: bool = False,
                    obs_norm=None):
     """Latched episode metrics for a batch of single-agent envs. Returns a dict of
     [N] arrays (total_reward, steps, progress, finished, crashed, speed,
     total_distance, distance_per_step)."""
-    state, obs = senv.reset(env_cfg, track)
-    n = obs.shape[0]
-    f32 = jnp.float32
-
-    def body(carry, key):
-        state, obs, active, acc = carry
-        action = _policy_action(params, log_std, obs.astype(f32), key, deterministic,
-                                obs_norm)
-        nstate, nobs, rew, term, trunc, info = senv.step(env_cfg, track, state, action)
-        done = term | trunc
-        step_dist = jnp.sqrt(
-            (info["x"] - state.car.x) ** 2 + (info["y"] - state.car.y) ** 2
-        )
-        first_step = acc["steps"] == 0
-        acc = {
-            "total_reward": acc["total_reward"] + jnp.where(active, rew, 0.0),
-            "steps": acc["steps"] + jnp.where(active, 1, 0),
-            "total_distance": acc["total_distance"]
-            + jnp.where(active & ~first_step, step_dist, 0.0),
-            "progress": jnp.where(active, info["progress"], acc["progress"]),
-            "finished": jnp.where(active, info["finished"], acc["finished"]),
-            "crashed": jnp.where(active, info["crashed"], acc["crashed"]),
-            "speed": jnp.where(active, info["speed"], acc["speed"]),
-        }
-        active = active & ~done
-        # frozen state once inactive so nothing drifts after the episode ends
-        nstate = jax.tree.map(
-            lambda new, old: jnp.where(
-                jnp.reshape(active, active.shape + (1,) * (new.ndim - 1)), new, old
-            ),
-            nstate, state,
-        )
-        nobs = jnp.where(active[:, None], nobs, obs)
-        return (nstate, nobs, active, acc), None
-
-    dtype = state.car.x.dtype
-    acc0 = {
-        "total_reward": jnp.zeros((n,), dtype),
-        "steps": jnp.zeros((n,), jnp.int32),
-        "total_distance": jnp.zeros((n,), dtype),
-        "progress": jnp.zeros((n,), dtype),
-        "finished": jnp.zeros((n,), bool),
-        "crashed": jnp.zeros((n,), bool),
-        "speed": jnp.zeros((n,), dtype),
-    }
-    keys = jax.random.split(key, max_steps)
-    (state, obs, active, acc), _ = jax.lax.scan(
-        body, (state, obs, jnp.ones((n,), bool), acc0), keys
-    )
-    acc["distance_per_step"] = jnp.where(
-        acc["steps"] > 1, acc["total_distance"] / acc["steps"], 0.0
-    )
-    return acc
+    return _rollout_single_jit(env_cfg, max_steps, deterministic)(
+        params, log_std, track, key, obs_norm)
 
 
-def rollout_multi(params, log_std, env_cfg: menv.MultiRacingConfig,
-                  track: trk.TrackArrays, key, max_steps: int = 3000,
-                  deterministic: bool = False, obs_norm=None):
-    """Shared-policy 2-car rollout (utils/metrics.py:80-150): both cars driven by the
-    same agent; per-episode stats come from the finished car, else car 0.
-
-    The device scan is jitted here with the track as an argument (CLAUDE.md rule —
-    closing over the eval grid would constant-fold ~MBs of geometry); only the
-    finished-car selection below runs on host."""
-    n = track.wp_x.shape[0]
+@functools.lru_cache(maxsize=None)
+def _rollout_multi_jit(env_cfg: menv.MultiRacingConfig, max_steps: int,
+                       deterministic: bool):
+    """Jitted device scan of rollout_multi, one program per (env_cfg, horizon,
+    mode), reused across models; track / params / obs_norm are arguments."""
     a = env_cfg.num_agents
     f32 = jnp.float32
 
-    @jax.jit
-    def run(params, log_std, track, key):
+    def run(params, log_std, track, key, obs_norm):
+        n = track.wp_x.shape[0]
         k_reset, k_run = jax.random.split(key)
         state, obs = menv.reset(env_cfg, track, key=k_reset)
 
@@ -170,7 +181,19 @@ def rollout_multi(params, log_std, env_cfg: menv.MultiRacingConfig,
         )
         return acc
 
-    acc = run(params, log_std, track, key)
+    return jax.jit(run)
+
+
+def rollout_multi(params, log_std, env_cfg: menv.MultiRacingConfig,
+                  track: trk.TrackArrays, key, max_steps: int = 3000,
+                  deterministic: bool = False, obs_norm=None):
+    """Shared-policy multi-car rollout (utils/metrics.py:80-150): all cars driven
+    by the same agent; per-episode stats come from the first finished car, else
+    car 0. The device scan is jitted with the track as an argument (CLAUDE.md
+    rule); only the finished-car selection below runs on host."""
+    n = track.wp_x.shape[0]
+    acc = _rollout_multi_jit(env_cfg, max_steps, deterministic)(
+        params, log_std, track, key, obs_norm)
     # chosen car: first finished car, else car 0 (utils/metrics.py:138-150);
     # argmax over the seat axis = first True, and 0 when none finished
     fin = np.asarray(acc["finished"])

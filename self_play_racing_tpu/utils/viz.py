@@ -11,6 +11,7 @@ pygame/cv2.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import numpy as np
@@ -21,7 +22,7 @@ import jax.numpy as jnp
 from ..envs import multi as menv
 from ..envs import single as senv
 from ..envs import track as trk
-from ..models import actor_critic as net
+from . import metrics as M
 
 
 def _pygame():
@@ -35,25 +36,17 @@ def _pygame():
     return pygame
 
 
-def record_trajectory_single(params, log_std, env_cfg: senv.RacingConfig,
-                             track: trk.TrackArrays, key, max_steps=2000,
-                             deterministic=True, obs_norm=None):
-    """Roll one (batch-1) episode on device; return stacked host arrays of
-    x, y, angle, speed, progress, reward, done per step."""
+@functools.lru_cache(maxsize=None)
+def _record_single_jit(env_cfg: senv.RacingConfig, max_steps: int, deterministic: bool):
+    """One jitted recorder per (env_cfg, horizon, mode); track/params/obs_norm are
+    arguments, never closure constants (CLAUDE.md rule), so repeated renders of
+    different models reuse the compiled program."""
 
-    @jax.jit  # track passed as a jit argument, never closed over (CLAUDE.md rule)
-    def run(params, log_std, track, key):
+    def run(params, log_std, track, key, obs_norm):
         def body(carry, key):
             state, obs, active = carry
-            obs32 = obs.astype(jnp.float32)
-            if obs_norm is not None:
-                from ..envs import normalize as obsnorm
-
-                obs32 = obsnorm.apply(obs_norm, obs32)
-            if deterministic:
-                action = net.deterministic_action(params, obs32)
-            else:
-                action, _, _ = net.sample_action(params, log_std, obs32, key)
+            action = M._policy_action(params, log_std, obs.astype(jnp.float32), key,
+                                      deterministic, obs_norm)
             nstate, nobs, rew, term, trunc, info = senv.step(env_cfg, track, state, action)
             done = term | trunc
             out = {
@@ -72,7 +65,17 @@ def record_trajectory_single(params, log_std, env_cfg: senv.RacingConfig,
         _, traj = jax.lax.scan(body, (state, obs, jnp.ones((obs.shape[0],), bool)), keys)
         return traj
 
-    traj = {k: np.asarray(v)[:, 0] for k, v in run(params, log_std, track, key).items()}
+    return jax.jit(run)
+
+
+def record_trajectory_single(params, log_std, env_cfg: senv.RacingConfig,
+                             track: trk.TrackArrays, key, max_steps=2000,
+                             deterministic=True, obs_norm=None):
+    """Roll one (batch-1) episode on device; return stacked host arrays of
+    x, y, angle, speed, progress, reward, done per step."""
+    run = _record_single_jit(env_cfg, max_steps, deterministic)
+    traj = {k: np.asarray(v)[:, 0]
+            for k, v in run(params, log_std, track, key, obs_norm).items()}
     # rows where active=True entering the step: 0..done-step inclusive — the row
     # after that would re-step the frozen terminal state (re-firing e.g. the crash
     # penalty), so it is excluded
@@ -80,27 +83,20 @@ def record_trajectory_single(params, log_std, env_cfg: senv.RacingConfig,
     return {k: v[:n] for k, v in traj.items()}
 
 
-def record_trajectory_multi(params, log_std, env_cfg: menv.MultiRacingConfig,
-                            track: trk.TrackArrays, key, max_steps=3000,
-                            deterministic=True, obs_norm=None):
-    """Shared-policy 2-car episode; arrays shaped [T, A]."""
+@functools.lru_cache(maxsize=None)
+def _record_multi_jit(env_cfg: menv.MultiRacingConfig, max_steps: int,
+                      deterministic: bool):
+    """Multi-car analog of _record_single_jit."""
 
-    @jax.jit  # track passed as a jit argument, never closed over (CLAUDE.md rule)
-    def run(params, log_std, track, key):
+    def run(params, log_std, track, key, obs_norm):
         k_reset, k_run = jax.random.split(key)
 
         def body(carry, key):
             state, obs, active = carry
             n, a = state.x.shape
-            obs32 = obs.reshape((n * a, -1)).astype(jnp.float32)
-            if obs_norm is not None:
-                from ..envs import normalize as obsnorm
-
-                obs32 = obsnorm.apply(obs_norm, obs32)
-            if deterministic:
-                action = net.deterministic_action(params, obs32)
-            else:
-                action, _, _ = net.sample_action(params, log_std, obs32, key)
+            action = M._policy_action(params, log_std,
+                                      obs.reshape((n * a, -1)).astype(jnp.float32),
+                                      key, deterministic, obs_norm)
             action = action.reshape((n, a, -1))
             nstate, nobs, rew, term, trunc, info = menv.step(env_cfg, track, state, action)
             done = term | trunc
@@ -120,7 +116,16 @@ def record_trajectory_multi(params, log_std, env_cfg: menv.MultiRacingConfig,
         _, traj = jax.lax.scan(body, (state, obs, jnp.ones((state.x.shape[0],), bool)), keys)
         return traj
 
-    traj = {k: np.asarray(v)[:, 0] for k, v in run(params, log_std, track, key).items()}
+    return jax.jit(run)
+
+
+def record_trajectory_multi(params, log_std, env_cfg: menv.MultiRacingConfig,
+                            track: trk.TrackArrays, key, max_steps=3000,
+                            deterministic=True, obs_norm=None):
+    """Shared-policy multi-car episode; arrays shaped [T, A]."""
+    run = _record_multi_jit(env_cfg, max_steps, deterministic)
+    traj = {k: np.asarray(v)[:, 0]
+            for k, v in run(params, log_std, track, key, obs_norm).items()}
     # exclude the row after the done step (it re-steps the frozen terminal state)
     n = int(traj["active"].sum())
     return {k: v[:n] for k, v in traj.items()}
