@@ -69,6 +69,8 @@ class SelfPlayTrainer(PPOTrainer):
         self.num_snapshots = 0  # total ever taken; write head = num_snapshots % P
         self._opp_rng = np.random.RandomState(cfg.seed)
         self.checkpoint_dir: Optional[str] = None
+        self.checkpoint_every = 10  # reference interval (self_play_ppo.py:154)
+        self._resumed_at_update = -1  # skip re-saving the checkpoint just loaded
         self._pool_count_by_update = {}  # update idx -> pool size used for it
 
         # stacked pool, zero-initialized; masked out via pool_count until filled
@@ -167,8 +169,11 @@ class SelfPlayTrainer(PPOTrainer):
             self.snapshot_agent()
         self.select_opponent()
         # the periodic full checkpoint lives here (not _post_update) so it captures
-        # exactly the post-update-N state before update N+1 is dispatched
-        if self.checkpoint_dir and update > 0 and update % 10 == 0:
+        # exactly the post-update-N state before update N+1 is dispatched; the
+        # update we just resumed from is skipped (its file is the one we loaded)
+        if self.checkpoint_dir and update > 0 \
+                and update % self.checkpoint_every == 0 \
+                and update != self._resumed_at_update:
             self.save_checkpoint(
                 os.path.join(self.checkpoint_dir, f"checkpoint_update_{update}")
             )
@@ -219,21 +224,24 @@ class SelfPlayTrainer(PPOTrainer):
 
     def train(self, num_updates: Optional[int] = None, log_every: int = 1,
               on_update=None, resume_from: Optional[str] = None,
-              checkpoint_dir: Optional[str] = None):
+              checkpoint_dir: Optional[str] = None, checkpoint_every: int = 10):
         self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
         if resume_from:
             self.load_checkpoint(resume_from)
+            self._resumed_at_update = int(self.runner.train.update)
             if num_updates is None:
                 num_updates = self.cfg.num_updates - int(self.runner.train.update)
         info = super().train(num_updates=num_updates, log_every=log_every,
                              on_update=on_update)
         # _pre_update only runs before a *next* update, so a final update that
-        # lands on the 10-boundary checkpoints here (reference saves at end of
-        # update u, self_play_ppo.py:154-167)
+        # lands on the interval boundary checkpoints here (reference saves at end
+        # of update u, self_play_ppo.py:154-167)
         if self.checkpoint_dir and self._host_update > 0 \
-                and self._host_update % 10 == 0:
+                and self._host_update % self.checkpoint_every == 0 \
+                and self._host_update != self._resumed_at_update:
             self.save_checkpoint(os.path.join(
                 self.checkpoint_dir, f"checkpoint_update_{self._host_update}"))
         return info

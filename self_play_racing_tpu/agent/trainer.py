@@ -90,8 +90,11 @@ class PPOTrainer:
         value annealed for the last completed update (anneal(update-1)) — the
         in-loop anneal for update u runs at the top of update u itself
         (ppo.py:250-253, self_play_ppo.py:135-139). Snapshots and ``save`` capture
-        this, not the next update's value."""
-        u = max(self._host_update - 1, 0)
+        this, not the next update's value. Before any update has run the buffer
+        holds its registration value, zeros (ppo.py:28) — not anneal(0)."""
+        if self._host_update == 0:
+            return jnp.zeros((self.env_cfg.action_dim,), jnp.float32)
+        u = self._host_update - 1
         return ppo.anneal_fractions(self.cfg, jnp.asarray(u, jnp.int32),
                                     self.env_cfg.action_dim)[2]
 

@@ -73,10 +73,11 @@ def step(
       opponents act on previous-step obs). Called once on the autoreset-merged
       state, so transition/reset can skip their own sensing pass entirely.
 
-    Returns (new_vstate, obs, reward, done, episode_record) where episode_record is a
-    dict with ``return``/``length``/``mask`` for episodes that finished this step
-    (mask False rows are padding, mirroring the ``_episode`` mask at ppo.py:124),
-    plus ``autoreset``: True for rows where this step was the reset transition.
+    Returns (new_vstate, obs, reward, done, terminated, truncated, info,
+    episode_record) where episode_record is a dict with ``return``/``length``/
+    ``mask`` for episodes that finished this step (mask False rows are padding,
+    mirroring the ``_episode`` mask at ppo.py:124), plus ``autoreset``: True for
+    rows where this step was the reset transition.
 
     CAVEAT (documented divergence from Gymnasium NEXT_STEP): on an autoreset row,
     ``info`` comes from the phantom transition of the terminated state (the env

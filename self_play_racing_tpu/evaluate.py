@@ -63,17 +63,16 @@ def load_policy_bundle(path):
     return params, jnp.asarray(data["log_std"]), obs_norm
 
 
-def evaluate_single_agent_overall(grid, model_path, num_tracks=40, num_runs=5,
-                                  seed=42, deterministic=False):
-    """evaluate.py:12-66 equivalent, one batched rollout for the whole grid."""
+def _evaluate_overall(grid, model_path, env_cfg, rollout_fn, max_steps,
+                      seed, deterministic):
+    """Shared grid evaluation: one batched rollout over all (track, run) cells."""
     params, log_std, obs_norm = load_policy_bundle(model_path)
     track, track_ids, run_ids = grid
-    env_cfg = senv.RacingConfig(num_sensors=11)
     # rollout_single/rollout_multi jit internally (one cached program per
     # env_cfg/horizon/mode, shared across models) with the track as an argument
-    eps = M.rollout_single(params, log_std, env_cfg, track, jax.random.key(seed),
-                           max_steps=2000, deterministic=deterministic,
-                           obs_norm=obs_norm)
+    eps = rollout_fn(params, log_std, env_cfg, track, jax.random.key(seed),
+                     max_steps=max_steps, deterministic=deterministic,
+                     obs_norm=obs_norm)
     eps = {k: np.asarray(v) for k, v in eps.items()}
     results = M.aggregate(eps)
     results["all_episodes"] = [
@@ -85,24 +84,20 @@ def evaluate_single_agent_overall(grid, model_path, num_tracks=40, num_runs=5,
     return results
 
 
-def evaluate_multi_agent_overall(grid, model_path, num_tracks=40, num_runs=5,
-                                 seed=42, deterministic=False):
+def evaluate_single_agent_overall(grid, model_path, seed=42, deterministic=False):
+    """evaluate.py:12-66 equivalent, one batched rollout for the whole grid.
+
+    The grid (from ``metrics.build_eval_grid``) already fixes the track/run
+    layout; its size is not re-declared here."""
+    return _evaluate_overall(grid, model_path, senv.RacingConfig(num_sensors=11),
+                             M.rollout_single, 2000, seed, deterministic)
+
+
+def evaluate_multi_agent_overall(grid, model_path, seed=42, deterministic=False):
     """evaluate.py:68-122 equivalent: shared policy drives both cars."""
-    params, log_std, obs_norm = load_policy_bundle(model_path)
-    track, track_ids, run_ids = grid
-    env_cfg = menv.MultiRacingConfig(num_agents=2, num_sensors=11)
-    eps = M.rollout_multi(params, log_std, env_cfg, track, jax.random.key(seed),
-                          max_steps=3000, deterministic=deterministic,
-                          obs_norm=obs_norm)
-    eps = {k: np.asarray(v) for k, v in eps.items()}
-    results = M.aggregate(eps)
-    results["all_episodes"] = [
-        {k: (float(v[i]) if v.dtype.kind == "f" else
-             (bool(v[i]) if v.dtype.kind == "b" else int(v[i])))
-         for k, v in eps.items()}
-        for i in range(len(eps["steps"]))
-    ]
-    return results
+    return _evaluate_overall(grid, model_path,
+                             menv.MultiRacingConfig(num_agents=2, num_sensors=11),
+                             M.rollout_multi, 3000, seed, deterministic)
 
 
 def display_comparison(results_files, labels, output_path):
@@ -160,7 +155,7 @@ def eval(models: dict, num_tracks=40, num_runs=5, seed=42, out_dir="data",
         print(f"Evaluating {label} ({kind}) from {path}")
         fn = (evaluate_single_agent_overall if kind == "single"
               else evaluate_multi_agent_overall)
-        results = fn(grid, path, num_tracks, num_runs, seed, deterministic)
+        results = fn(grid, path, seed=seed, deterministic=deterministic)
         out_path = os.path.join(out_dir, f"eval_info_{label}.json")
         with open(out_path, "w") as f:
             json.dump(results, f, indent=2)

@@ -134,13 +134,17 @@ def params_from_torch_state_dict(state_dict, dtype=jnp.float32):
     def arr(t):
         return jnp.asarray(np.asarray(t.detach().cpu() if hasattr(t, "detach") else t), dtype)
 
-    def seq(prefix, indices):
+    def seq(prefix):
+        # Linear layers sit at Sequential slots 0, 2, 4, ... (Tanh between each);
+        # infer the depth from the state dict rather than assuming 3 layers.
+        slots = sorted(int(k.split(".")[1]) for k in state_dict
+                       if k.startswith(f"{prefix}.") and k.endswith(".weight"))
         return [(arr(state_dict[f"{prefix}.{i}.weight"]).T, arr(state_dict[f"{prefix}.{i}.bias"]))
-                for i in indices]
+                for i in slots]
 
     params = {
-        "actor": seq("actor_mu", (0, 2, 4)),
-        "critic": seq("critic", (0, 2, 4)),
+        "actor": seq("actor_mu"),
+        "critic": seq("critic"),
     }
     log_std = arr(state_dict["log_std"])
     return params, log_std
@@ -152,7 +156,8 @@ def params_to_torch_state_dict(params, log_std):
 
     out = {}
     for name, key in (("actor_mu", "actor"), ("critic", "critic")):
-        for slot, (w, b) in zip((0, 2, 4), params[key]):
+        for layer_idx, (w, b) in enumerate(params[key]):
+            slot = 2 * layer_idx  # Tanh occupies every odd Sequential slot
             out[f"{name}.{slot}.weight"] = torch.from_numpy(np.asarray(w).T.copy())
             out[f"{name}.{slot}.bias"] = torch.from_numpy(np.asarray(b).copy())
     out["log_std"] = torch.from_numpy(np.asarray(log_std).copy())

@@ -27,8 +27,16 @@ from .utils import viz
 
 
 def _held_out_track(track_seed: int, width: float = 7.0):
-    """One track outside the training pool stream (fresh seed)."""
-    cps = trk.gen_random_track(12, 60, 15, 0.4, 0.5, seed=track_seed)
+    """One track outside the training pool stream (fresh seed).
+
+    gen_random_track(seed=...) reseeds the *global* NumPy RNG (a reference quirk
+    kept for parity); save/restore the state so rendering mid-script doesn't
+    silently reset the caller's RNG stream."""
+    rng_state = np.random.get_state()
+    try:
+        cps = trk.gen_random_track(12, 60, 15, 0.4, 0.5, seed=track_seed)
+    finally:
+        np.random.set_state(rng_state)
     geometry = trk.build_track_geometry(cps, width)
     pool = trk.make_track_pool([cps], [width])
     return geometry, trk.gather_tracks(pool, [0])

@@ -104,7 +104,8 @@ def train_single(total_timesteps=None, num_envs=None, out="models/single_agent.n
 def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
                 num_tracks=16, out="models/self_play_agent_scale_1B.npz",
                 info_out="data/training_info_self_play_scale_1B.json",
-                num_updates=None, **cfg_overrides):
+                num_updates=None, checkpoint_dir="models/scale",
+                checkpoint_every=200, resume_from=None, **cfg_overrides):
     """Scale-mode self-play: resident env state, per-env opponents, big batch.
 
     The TPU-native generalization beyond the reference's 16-env parity config
@@ -132,7 +133,11 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
           f"Batch: {cfg.batch_size:,} | Updates: {cfg.num_updates} | "
           f"Snapshot freq: {cfg.snapshot_freq} | Pool: {cfg.pool_size}")
     trainer = SelfPlayTrainer(cfg, env_cfg, track)
-    trainer.train(num_updates=num_updates, log_every=50)
+    # multi-hour runs need crash recovery: full checkpoint every `checkpoint_every`
+    # updates (default 200 ≈ every 210M steps at the default batch) + --resume
+    trainer.train(num_updates=num_updates, log_every=50,
+                  checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+                  resume_from=resume_from)
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     trainer.save(out)
     os.makedirs(os.path.dirname(info_out) or ".", exist_ok=True)
@@ -188,7 +193,7 @@ def main(argv=None):
     p.add_argument("--num-updates", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--resume", default=None, metavar="CKPT",
-                   help="multi mode: resume from a full checkpoint "
+                   help="multi/scale modes: resume from a full checkpoint "
                         "(e.g. models/checkpoint_update_30)")
     args = p.parse_args(argv)
     kw = {}
@@ -206,7 +211,7 @@ def main(argv=None):
             skw["total_timesteps"] = args.total_timesteps
         if args.num_envs:
             skw["num_envs"] = args.num_envs
-        train_scale(num_updates=args.num_updates, **skw)
+        train_scale(num_updates=args.num_updates, resume_from=args.resume, **skw)
     if args.mode in ("sb3", "all"):
         train_single_baseline(args.total_timesteps, **kw)
 

@@ -90,6 +90,24 @@ def load_pytree(path: str, template):
         ) else x
         for t, x in zip(tpl_flat, flat)
     ]
+    # Leaf count alone can't catch a config mismatch (e.g. a pool_size=5
+    # checkpoint resumed into a pool_size=8 trainer unflattens fine but then
+    # scatters snapshots into clamped out-of-range slots). Validate shapes and
+    # dtypes leaf-by-leaf so mismatched resumes fail loudly at load time.
+    mismatches = []
+    for i, (t, x) in enumerate(zip(tpl_flat, flat)):
+        t_arr = jnp.asarray(t)
+        if tuple(t_arr.shape) != tuple(x.shape) or t_arr.dtype != x.dtype:
+            mismatches.append(
+                f"  leaf {i}: checkpoint {x.shape} {x.dtype} vs "
+                f"template {t_arr.shape} {t_arr.dtype}"
+            )
+    if mismatches:
+        raise ValueError(
+            f"checkpoint {path} does not match the template "
+            f"(wrong num_envs / pool_size / hidden sizes?):\n"
+            + "\n".join(mismatches)
+        )
     tree = jax.tree.unflatten(treedef, flat)
     meta_path = _meta_path(path)
     meta = {}
