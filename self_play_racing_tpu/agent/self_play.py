@@ -222,6 +222,103 @@ class SelfPlayTrainer(PPOTrainer):
         print(f"Loaded checkpoint from {path} "
               f"(update {int(self.runner.train.update)}, pool {self.pool_count})")
 
+    def load_torch_checkpoint(self, path: str):
+        """Resume from a *reference* full training checkpoint
+        (``models/checkpoint_update_{u}.pth``, self_play_ppo.py:154-167): agent
+        params, Adam moments, the opponent pool, update/step counters, and
+        training curves all transfer. The migration path for users with
+        in-flight reference runs.
+
+        Index mapping: the reference's 0-based ``update`` u means u+1 completed
+        updates, so our counters resume at u+1; its oldest->newest pool list maps
+        onto our ring slots via the global snapshot index (u // snapshot_freq).
+        Weight matrices transpose (torch (out, in) -> ours (in, out)); Adam
+        moments are lr-independent, so they transfer exactly (the reference's lr
+        anneal is re-derived from the update index, as is log_std).
+        """
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        params, _buffer_log_std = net.params_from_torch_state_dict(
+            ckpt["agent_state_dict"])
+        tpl_leaves, treedef = jax.tree.flatten(self.runner.train.params)
+        leaves = jax.tree.leaves(params)
+        if len(leaves) != len(tpl_leaves) or any(
+                a.shape != b.shape for a, b in zip(leaves, tpl_leaves)):
+            raise ValueError(
+                f"{path}: agent architecture does not match cfg.hidden="
+                f"{self.cfg.hidden}")
+        params = jax.tree.map(lambda x, t: x.astype(t.dtype),
+                              jax.tree.unflatten(treedef, leaves),
+                              self.runner.train.params)
+
+        # Adam moments: torch state is keyed by parameters() position, which for
+        # the reference Agent (actor_mu tower then critic tower, log_std is a
+        # buffer) matches our leaf order exactly; weights transpose like params.
+        opt_sd = ckpt["optimizer_state_dict"]
+        order = opt_sd["param_groups"][0]["params"]
+        state = opt_sd["state"]
+
+        def moment(i, field, tpl):
+            if i not in state:  # optimizer never stepped
+                return jnp.zeros_like(tpl)
+            m = jnp.asarray(np.asarray(state[i][field].detach()), tpl.dtype)
+            return m.T if m.ndim == 2 else m
+
+        mu = jax.tree.unflatten(treedef, [
+            moment(i, "exp_avg", t) for i, t in zip(order, tpl_leaves)])
+        nu = jax.tree.unflatten(treedef, [
+            moment(i, "exp_avg_sq", t) for i, t in zip(order, tpl_leaves)])
+        count = jnp.asarray(
+            int(state[order[0]]["step"]) if order and order[0] in state else 0,
+            jnp.int32)
+        opt_state = tuple(
+            s._replace(mu=mu, nu=nu, count=count)
+            if hasattr(s, "mu") and hasattr(s, "nu") else s
+            for s in self.runner.train.opt_state
+        )
+
+        completed = int(ckpt["update"]) + 1  # reference updates are 0-based
+        train = self.runner.train.replace(
+            params=params, opt_state=opt_state,
+            update=jnp.asarray(completed, jnp.int32),
+            global_step=jnp.asarray(
+                int(ckpt["global_step"]) % (2**31), jnp.int32),
+        )
+        self.runner = self.runner.replace(train=train)
+        self._host_update = completed
+
+        # opponent pool: oldest -> newest list onto ring slots by global index
+        pool_sds = ckpt.get("opponent_pool", [])
+        if len(pool_sds) > self.pool_size:
+            raise ValueError(
+                f"{path}: pool has {len(pool_sds)} snapshots > pool_size="
+                f"{self.pool_size}")
+        self.num_snapshots = int(ckpt["update"]) // self.snapshot_freq
+        if self.num_snapshots < len(pool_sds):  # quirky checkpoint; trust the list
+            self.num_snapshots = len(pool_sds)
+        first_global = self.num_snapshots - len(pool_sds)
+        pool = self.pool
+        for k, sd in enumerate(pool_sds):
+            opp_params, opp_log_std = net.params_from_torch_state_dict(sd)
+            slot = (first_global + k) % self.pool_size
+            pool = {
+                **pool,
+                "params": jax.tree.map(
+                    lambda p, x: p.at[slot].set(x.astype(p.dtype)),
+                    pool["params"], opp_params),
+                "log_std": pool["log_std"].at[slot].set(
+                    opp_log_std.astype(pool["log_std"].dtype)),
+            }
+            # reference agents act on raw observations; identity stats reproduce
+            # that if this trainer normalizes its own observations
+        self.pool = pool
+        self._resumed_at_update = completed
+        self.training_info = ckpt.get(
+            "training_info", {"steps": [], "rewards": [], "opponent_pool_size": []})
+        print(f"Loaded reference torch checkpoint {path} "
+              f"(resuming at update {completed}, pool {self.pool_count})")
+
     def train(self, num_updates: Optional[int] = None, log_every: int = 1,
               on_update=None, resume_from: Optional[str] = None,
               checkpoint_dir: Optional[str] = None, checkpoint_every: int = 10):
@@ -230,8 +327,11 @@ class SelfPlayTrainer(PPOTrainer):
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
         if resume_from:
-            self.load_checkpoint(resume_from)
-            self._resumed_at_update = int(self.runner.train.update)
+            if resume_from.endswith((".pth", ".pt")):  # reference torch checkpoint
+                self.load_torch_checkpoint(resume_from)
+            else:
+                self.load_checkpoint(resume_from)
+                self._resumed_at_update = int(self.runner.train.update)
             if num_updates is None:
                 num_updates = self.cfg.num_updates - int(self.runner.train.update)
         info = super().train(num_updates=num_updates, log_every=log_every,
