@@ -100,6 +100,80 @@ def evaluate_multi_agent_overall(grid, model_path, seed=42, deterministic=False)
                              M.rollout_multi, 3000, seed, deterministic)
 
 
+def _adapter_episode(env, predict, max_steps=2000):
+    """One host-side episode through the gym adapter (utils/metrics.py:152-183
+    equivalent): path length integrated from info positions, final-info stats."""
+    obs, _ = env.reset()
+    total_reward = 0.0
+    total_distance = 0.0
+    prev = None
+    info = {}
+    step = 0
+    for step in range(max_steps):
+        action = predict(obs)
+        obs, reward, terminated, truncated, info = env.step(action)
+        total_reward += float(reward)
+        pos = info["position"]
+        if prev is not None:
+            total_distance += float(np.hypot(pos[0] - prev[0], pos[1] - prev[1]))
+        prev = pos
+        if terminated or truncated:
+            break
+    return {
+        "total_reward": total_reward,
+        "steps": step + 1,
+        "progress": float(info["progress"]),
+        "finished": bool(info["finished"]),
+        "crashed": bool(info["crashed"]),
+        "speed": float(info["speed"]),
+        "total_distance": total_distance,
+        "distance_per_step": total_distance / (step + 1) if step > 0 else 0.0,
+    }
+
+
+def evaluate_adapter_agent_overall(predict, num_tracks=40, num_runs=5, seed=42,
+                                   max_steps=2000, num_sensors=11):
+    """Host-loop grid evaluation for policies that only expose ``predict(obs) ->
+    action`` (SB3 models, external baselines). Same track/width grid as the
+    batched evaluators (evaluate.py:176-182 incl. the width-by-run quirk,
+    evaluate.py:30), same aggregation."""
+    from .envs import track as trk
+    from .envs.gym_adapter import RacingEnv
+
+    np.random.seed(seed)
+    cps = trk.gen_tracks(num_tracks=num_tracks, seed=seed)
+    widths = [np.random.RandomState(seed + i).randint(4, 10)
+              for i in range(num_tracks)]
+    episodes = []
+    for t in range(num_tracks):
+        for r in range(num_runs):
+            env = RacingEnv(num_sensors=num_sensors, track_pool=cps, track_id=t,
+                            track_width=float(widths[r]), dtype=jnp.float32)
+            episodes.append(_adapter_episode(env, predict, max_steps))
+    cols = {k: np.asarray([e[k] for e in episodes]) for k in episodes[0]}
+    results = M.aggregate(cols)
+    results["all_episodes"] = episodes
+    return results
+
+
+def evaluate_sb3_agent_overall(model_path, num_tracks=40, num_runs=5, seed=42,
+                               max_steps=2000):
+    """evaluate.py:124-171 equivalent: SB3 PPO driven deterministically through
+    the gym adapter. Requires stable_baselines3 (optional dependency)."""
+    try:
+        from stable_baselines3 import PPO as SB3_PPO
+    except ImportError as e:
+        raise SystemExit(
+            "stable_baselines3 is not installed; the SB3 evaluator is optional "
+            "and gated (see evaluate_adapter_agent_overall for the generic "
+            "predict-callable path)."
+        ) from e
+    model = SB3_PPO.load(model_path)
+    return evaluate_adapter_agent_overall(
+        lambda obs: model.predict(obs, deterministic=True)[0],
+        num_tracks, num_runs, seed, max_steps)
+
+
 def display_comparison(results_files, labels, output_path):
     """Grouped normalized bar chart (utils/metrics.py:185-235)."""
     import matplotlib
@@ -153,9 +227,12 @@ def eval(models: dict, num_tracks=40, num_runs=5, seed=42, out_dir="data",
     result_files, labels = [], []
     for label, (kind, path) in models.items():
         print(f"Evaluating {label} ({kind}) from {path}")
-        fn = (evaluate_single_agent_overall if kind == "single"
-              else evaluate_multi_agent_overall)
-        results = fn(grid, path, seed=seed, deterministic=deterministic)
+        if kind == "sb3":
+            results = evaluate_sb3_agent_overall(path, num_tracks, num_runs, seed)
+        else:
+            fn = (evaluate_single_agent_overall if kind == "single"
+                  else evaluate_multi_agent_overall)
+            results = fn(grid, path, seed=seed, deterministic=deterministic)
         out_path = os.path.join(out_dir, f"eval_info_{label}.json")
         with open(out_path, "w") as f:
             json.dump(results, f, indent=2)
@@ -176,6 +253,8 @@ def main(argv=None):
                    help="path to a single-agent policy (.npz or .pth)")
     p.add_argument("--multi", action="append", default=[],
                    help="path to a self-play/multi policy (.npz or .pth)")
+    p.add_argument("--sb3", action="append", default=[],
+                   help="path to an SB3 PPO model (.zip; needs stable_baselines3)")
     p.add_argument("--num-tracks", type=int, default=40)
     p.add_argument("--num-runs", type=int, default=5)
     p.add_argument("--seed", type=int, default=42)
@@ -186,8 +265,10 @@ def main(argv=None):
         models[f"single_{i}" if len(args.single) > 1 else "single"] = ("single", path)
     for i, path in enumerate(args.multi):
         models[f"self_play_{i}" if len(args.multi) > 1 else "self_play"] = ("multi", path)
+    for i, path in enumerate(args.sb3):
+        models[f"sb3_{i}" if len(args.sb3) > 1 else "sb3"] = ("sb3", path)
     if not models:
-        raise SystemExit("pass at least one --single/--multi model path")
+        raise SystemExit("pass at least one --single/--multi/--sb3 model path")
     eval(models, args.num_tracks, args.num_runs, args.seed,
          deterministic=args.deterministic)
 

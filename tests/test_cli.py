@@ -53,3 +53,37 @@ def test_train_multi_cli_and_evaluate_cli(run_dir):
 def test_evaluate_cli_requires_a_model():
     with pytest.raises(SystemExit):
         eval_mod.main([])
+
+
+def test_adapter_evaluator_matches_grid_contract():
+    """The host-loop evaluator (SB3 path minus SB3): same grid quirks, same
+    aggregation keys, drives the gym adapter with a plain predict callable."""
+    import numpy as np
+    from self_play_racing_tpu.evaluate import evaluate_adapter_agent_overall
+
+    rng = np.random.RandomState(0)
+
+    def predict(obs):
+        return rng.uniform([-1, 0], [1, 1]).astype(np.float32)
+
+    results = evaluate_adapter_agent_overall(predict, num_tracks=2, num_runs=2,
+                                             seed=42, max_steps=200)
+    assert results["num_episodes"] == 4
+    assert set(results) >= {"success_rate", "crash_rate", "avg_speed",
+                            "avg_distance", "avg_steps_per_progress",
+                            "all_episodes"}
+    # random policies crash: every episode must report a terminal state
+    for ep in results["all_episodes"]:
+        assert ep["crashed"] or ep["finished"] or ep["steps"] == 200
+
+
+def test_sb3_evaluator_gate():
+    import importlib.util
+
+    import pytest
+
+    from self_play_racing_tpu.evaluate import evaluate_sb3_agent_overall
+
+    if importlib.util.find_spec("stable_baselines3") is None:
+        with pytest.raises(SystemExit, match="stable_baselines3"):
+            evaluate_sb3_agent_overall("nonexistent.zip", 1, 1)
