@@ -26,6 +26,8 @@ import numpy as np
 from flax import struct
 from scipy.interpolate import CubicSpline
 
+import jax
+
 import jax.numpy as jnp
 
 PAD_XY = 1.0e8
@@ -234,5 +236,4 @@ def gather_tracks(pool: TrackArrays, track_ids) -> TrackArrays:
     """Per-env track data: gather pool rows by env->track assignment (one-time,
     outside the rollout scan, so the hot loop reads contiguous per-env geometry)."""
     ids = jnp.asarray(track_ids, dtype=jnp.int32)
-    import jax
     return jax.tree.map(lambda a: jnp.take(a, ids, axis=0), pool)

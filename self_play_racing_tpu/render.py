@@ -17,7 +17,6 @@ import os
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from .envs import multi as menv
 from .envs import single as senv
