@@ -175,8 +175,16 @@ def run_ppo_update(cfg: PPOConfig, opt, params, opt_state, log_std, lr,
     """Epochs x minibatches of clipped updates with KL early stop (ppo.py:156-209).
 
     ``flat`` is the flattened [batch_size, ...] rollout. Once approx_kl exceeds the
-    target, the triggering minibatch and everything after it are masked no-ops —
-    the whole remaining update is aborted, exactly like the reference's ``return``.
+    target, the triggering minibatch is not applied and the update EXITS — a
+    ``lax.while_loop`` over the flattened (epoch, minibatch) sequence, so the
+    remaining minibatches are genuinely skipped, exactly like the reference's
+    ``return``. (An earlier masked-scan version computed all E*M minibatches and
+    discarded the post-stop ones — identical parameters, but real training often
+    stops a third of the way in, wasting most of the update phase's FLOPs.)
+
+    Returns (params, opt_state, stopped, stats); ``stats`` are [epochs, minibatches]
+    f32 arrays, zero-filled past the exit point, with ``stats["computed"]`` marking
+    executed minibatches and ``stats["applied"]`` the applied ones.
     """
     b = cfg.batch_size
     # shuffle granularity: permute contiguous blocks (DMA-friendly gather) when the
@@ -192,50 +200,65 @@ def run_ppo_update(cfg: PPOConfig, opt, params, opt_state, log_std, lr,
     mb_units = cfg.minibatch_size // block
     blocked = Batch(*(x.reshape((n_units, block) + x.shape[1:]) for x in flat))
 
-    def epoch_body(carry, ekey):
-        params, opt_state, stop = carry
-        perm = epoch_permutation(ekey, n_units)
-        # Gather each minibatch directly from the (unshuffled) blocked batch inside
-        # the minibatch scan. Identical minibatch composition to materializing the
-        # whole shuffled epoch up front, but ~25% faster on v5e: the per-minibatch
-        # gathers fuse into their consumers instead of writing + re-reading a
-        # full-batch shuffled copy every epoch.
-        mb_idx = perm.reshape(cfg.num_minibatches, mb_units)
+    e_total = cfg.update_epochs
+    m_total = cfg.num_minibatches
+    ekeys = jax.random.split(key, e_total)
+    perms = jax.vmap(lambda k: epoch_permutation(k, n_units))(ekeys)  # [E, n_units]
 
-        def mb_body(carry, idx):
-            mb = Batch(*(
-                jnp.take(x, idx, axis=0).reshape(
-                    (cfg.minibatch_size,) + x.shape[2:]
-                )
-                for x in blocked
-            ))
-            params, opt_state, stop = carry
-            (loss, stats), grads = jax.value_and_grad(_ppo_loss, has_aux=True)(
-                params, log_std, mb, cfg
-            )
-            # KL early-stop: the triggering minibatch is itself not applied
-            # (ppo.py:178-182), and nothing after it is.
-            stop = stop | (stats["approx_kl"] > cfg.kl_target)
-            updates, new_opt_state = opt.update(grads, opt_state, params)
-            updates = jax.tree.map(lambda u: -lr * u, updates)
-            new_params = optax.apply_updates(params, updates)
-            params = jax.tree.map(lambda o, n: jnp.where(stop, o, n), params, new_params)
-            opt_state = jax.tree.map(
-                lambda o, n: jnp.where(stop, o, n), opt_state, new_opt_state
-            )
-            stats["applied"] = (~stop).astype(jnp.float32)
-            return (params, opt_state, stop), stats
+    stats0 = {
+        name: jnp.zeros((e_total, m_total), jnp.float32)
+        for name in ("loss", "pg_loss", "v_loss", "entropy", "approx_kl",
+                     "clip_frac", "applied", "computed")
+    }
 
-        (params, opt_state, stop), stats = jax.lax.scan(
-            mb_body, (params, opt_state, stop), mb_idx
+    def cond_fn(carry):
+        _, _, i, stop, _ = carry
+        return (i < e_total * m_total) & ~stop
+
+    def body_fn(carry):
+        params, opt_state, i, stop, stats = carry
+        e = i // m_total
+        m = i % m_total
+        # Gather the minibatch directly from the (unshuffled) blocked batch: same
+        # composition as materializing the shuffled epoch, but the gather fuses
+        # into its consumers (~25% faster than a full-batch shuffled copy on v5e).
+        idx = jax.lax.dynamic_slice(perms, (e, m * mb_units), (1, mb_units))[0]
+        mb = Batch(*(
+            jnp.take(x, idx, axis=0).reshape((cfg.minibatch_size,) + x.shape[2:])
+            for x in blocked
+        ))
+        (loss, st), grads = jax.value_and_grad(_ppo_loss, has_aux=True)(
+            params, log_std, mb, cfg
         )
-        return (params, opt_state, stop), stats
+        # KL early-stop: the triggering minibatch is itself not applied
+        # (ppo.py:178-182); the loop exits before any later one runs.
+        trig = st["approx_kl"] > cfg.kl_target
+        updates, new_opt_state = opt.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        new_params = optax.apply_updates(params, updates)
+        params = jax.tree.map(lambda o, n: jnp.where(trig, o, n), params, new_params)
+        opt_state = jax.tree.map(
+            lambda o, n: jnp.where(trig, o, n), opt_state, new_opt_state
+        )
+        st["applied"] = (~trig).astype(jnp.float32)
+        st["computed"] = jnp.float32(1.0)
+        stats = {k: stats[k].at[e, m].set(jnp.asarray(v, jnp.float32))
+                 for k, v in st.items()}
+        return (params, opt_state, i + 1, trig, stats)
 
-    ekeys = jax.random.split(key, cfg.update_epochs)
-    (params, opt_state, stop), stats = jax.lax.scan(
-        epoch_body, (params, opt_state, jnp.zeros((), bool)), ekeys
+    params, opt_state, _, stop, stats = jax.lax.while_loop(
+        cond_fn, body_fn,
+        (params, opt_state, jnp.zeros((), jnp.int32), jnp.zeros((), bool), stats0),
     )
     return params, opt_state, stop, stats
+
+
+def _last_computed(ustats, name):
+    """Value of ``name`` at the last executed minibatch (run_ppo_update zero-fills
+    slots after the KL exit; ``computed`` marks the executed ones)."""
+    n = jnp.sum(ustats["computed"]).astype(jnp.int32)
+    flat = ustats[name].reshape(-1)
+    return flat[jnp.maximum(n - 1, 0)]
 
 
 def make_update_step(cfg: PPOConfig, hooks: EnvHooks, action_dim: int = 2):
@@ -355,10 +378,12 @@ def make_update_step(cfg: PPOConfig, hooks: EnvHooks, action_dim: int = 2):
             ),
             "kl_stopped": stopped,
             "minibatches_applied": jnp.sum(ustats["applied"]),
-            "approx_kl": ustats["approx_kl"][-1, -1],
-            "pg_loss": ustats["pg_loss"][-1, -1],
-            "v_loss": ustats["v_loss"][-1, -1],
-            "entropy": ustats["entropy"][-1, -1],
+            # last COMPUTED minibatch (the triggering one when KL-stopped; the
+            # final one otherwise) — post-exit slots are zero-filled
+            "approx_kl": _last_computed(ustats, "approx_kl"),
+            "pg_loss": _last_computed(ustats, "pg_loss"),
+            "v_loss": _last_computed(ustats, "v_loss"),
+            "entropy": _last_computed(ustats, "entropy"),
             "mean_reward": rewards.mean(),
         }
         # pack every metric into ONE f32 vector: the host reads a single buffer per
