@@ -217,3 +217,61 @@ def test_shuffle_blocks_never_span_timesteps():
     p16 = run(16)
     for a, b in zip(jax.tree.leaves(p64), jax.tree.leaves(p16)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_kl_midway_exit_matches_manual_replay():
+    """Early exit at an arbitrary mid-sequence minibatch: run_ppo_update's result
+    must equal manually applying exactly the pre-trigger minibatches in order
+    (same perms, same gathers), with the triggering one computed but not applied."""
+    import math
+
+    from self_play_racing_tpu.ops.prng import epoch_permutation
+
+    cfg = base_config(num_envs=8, num_steps=32, num_minibatches=4, update_epochs=2,
+                      kl_target=0.012, total_timesteps=8 * 32 * 4)
+    obs_dim, action_dim = 15, 2
+    params, log_std, _ = make_matched_agents(obs_dim, action_dim)
+    flat = _random_flat_batch(cfg, obs_dim, action_dim, params, log_std)
+    # nudge old logprobs so approx_kl crosses the target partway through the
+    # 8-minibatch sequence (not at minibatch 0, not never)
+    flat = flat._replace(logprobs=flat.logprobs + 0.011)
+
+    lr = jnp.float32(3e-4)
+    key = jax.random.key(12)
+    opt = jppo.make_optimizer(cfg)
+    new_params, _, stopped, stats = jppo.run_ppo_update(
+        cfg, opt, params, opt.init(params), log_std, lr, flat, key,
+    )
+    computed = int(np.sum(np.asarray(stats["computed"])))
+    applied = int(np.sum(np.asarray(stats["applied"])))
+    assert bool(stopped), "test needs the KL stop to fire"
+    assert 0 < applied < cfg.update_epochs * cfg.num_minibatches - 1, (
+        f"test needs a mid-sequence stop, got applied={applied}")
+    assert computed == applied + 1  # the triggering minibatch computes, not applies
+
+    # manual replay of the applied prefix
+    block = math.gcd(cfg.shuffle_block_size, cfg.num_envs)
+    n_units = cfg.batch_size // block
+    mb_units = cfg.minibatch_size // block
+    blocked = jppo.Batch(*(x.reshape((n_units, block) + x.shape[1:]) for x in flat))
+    ekeys = jax.random.split(key, cfg.update_epochs)
+    perms = jax.vmap(lambda k: epoch_permutation(k, n_units))(ekeys)
+
+    p, s = params, opt.init(params)
+    import optax
+    for i in range(applied):
+        e, m = divmod(i, cfg.num_minibatches)
+        idx = perms[e, m * mb_units:(m + 1) * mb_units]
+        mb = jppo.Batch(*(
+            jnp.take(x, idx, axis=0).reshape((cfg.minibatch_size,) + x.shape[2:])
+            for x in blocked
+        ))
+        (_, st), grads = jax.value_and_grad(jppo._ppo_loss, has_aux=True)(
+            p, log_std, mb, cfg)
+        assert float(st["approx_kl"]) <= cfg.kl_target
+        updates, s = opt.update(grads, s, p)
+        p = optax.apply_updates(p, jax.tree.map(lambda u: -lr * u, updates))
+
+    # compiled-while-loop vs eager replay differ only by fusion rounding (~1 ulp)
+    for a, b in zip(jax.tree.leaves(new_params), jax.tree.leaves(p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6)
