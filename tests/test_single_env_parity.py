@@ -121,3 +121,35 @@ def test_crash_freezes_state():
     assert bool(term2[0])
     # sticky crash keeps paying the -60 penalty like the reference would
     assert float(rew2[0]) == pytest.approx(-60.0)
+
+
+@pytest.mark.parametrize(
+    "num_sensors,track_seed,width",
+    [
+        (7, 3, 6.0),    # the reference's default sensor count (racing_env.py:9)
+        (5, 11, 9.5),   # few sensors, widest track
+        (11, 2, 4.0),   # narrowest eval-grid width (evaluate.py:181 draws [4,10))
+        (15, 7, 7.5),   # more sensors than any entry point uses
+    ],
+)
+def test_per_step_parity_config_fuzz(num_sensors, track_seed, width):
+    """Resynced per-step parity across env configurations: sensor counts other than
+    the entry points' 11 (incl. the class default 7) and the eval grid's width
+    extremes must match the oracle just as tightly."""
+    cfg, track, ref = make_pair(num_sensors=num_sensors, track_seed=track_seed,
+                                width=width)
+    ref.reset()
+    rng = np.random.RandomState(track_seed)
+    step_fn = jax.jit(lambda tr, s, a: jenv.step(cfg, tr, s, a))
+    for t in range(60):
+        state = ref_state_to_jax(ref, cfg, track)
+        action = np.array([rng.uniform(-1, 1), rng.uniform(0, 1)])
+        robs, rrew, rterm, rtrunc, rinfo = ref.step(action)
+        jstate, jobs, jrew, jterm, jtrunc, jinfo = step_fn(
+            track, state, jnp.asarray(action)[None, :]
+        )
+        assert float(jrew[0]) == pytest.approx(rrew, rel=0, abs=1e-9), f"step {t}"
+        assert bool(jterm[0]) == rterm and bool(jtrunc[0]) == rtrunc, f"step {t}"
+        np.testing.assert_allclose(np.asarray(jobs[0]), robs, rtol=0, atol=1e-6)
+        if rterm or rtrunc:
+            ref.reset()
