@@ -156,3 +156,44 @@ def test_collision_response_and_placement():
                 assert int(jinfo["placement"][0, i]) == rinfos[f"{i}"]["placement"]
             return
     pytest.fail("episode never ended")
+
+
+@pytest.mark.parametrize(
+    "num_agents,num_sensors,track_seed,width",
+    [
+        (3, 11, 4, 7.0),   # three agents: 8 opponent-relative features each
+        (2, 7, 8, 9.0),    # non-default sensor count on a wide track
+        (4, 5, 6, 6.0),    # four agents, few sensors
+    ],
+)
+def test_per_step_parity_config_fuzz(num_agents, num_sensors, track_seed, width):
+    """Resynced per-step parity across agent counts and sensor configurations —
+    the opponent-relative obs blocks, pairwise SAT response and placement scoring
+    must match the oracle for every num_agents, not just the entry points' 2."""
+    cps = [jtrack.gen_random_track(12, 60, 15, 0.4, 0.5, seed=track_seed)]
+    pool = jtrack.make_track_pool(cps, [width], dtype=jnp.float64)
+    track = jtrack.gather_tracks(pool, [0])
+    cfg = menv.MultiRacingConfig(num_agents=num_agents, num_sensors=num_sensors)
+    ref = RefEnv(num_agents=num_agents, num_sensors=num_sensors, track_pool=cps,
+                 track_id=0, track_width=width)
+    ref_reset_with_known_order(ref, seed=track_seed)
+    rng = np.random.RandomState(track_seed)
+    step_fn = jax.jit(lambda tr, s, a: menv.step(cfg, tr, s, a))
+    for t in range(80):
+        state = ref_state_to_jax(ref)
+        act = rng.uniform(-1, 1, size=(num_agents, 2))
+        robs, rrew, rdones, rtrunc, rinfos = ref.step(
+            {f"{i}": act[i] for i in range(num_agents)})
+        jstate, jobs, jrew, jterm, jtrunc, jinfo = step_fn(
+            track, state, jnp.asarray(act)[None]
+        )
+        for i in range(num_agents):
+            assert float(jrew[0, i]) == pytest.approx(rrew[f"{i}"], rel=0, abs=1e-9), \
+                f"step {t} agent {i}"
+            np.testing.assert_allclose(np.asarray(jobs[0, i]), robs[f"{i}"],
+                                       rtol=0, atol=1e-6)
+            if "placement" in rinfos[f"{i}"]:
+                assert int(jinfo["placement"][0, i]) == rinfos[f"{i}"]["placement"]
+        assert bool(jterm[0] | jtrunc[0]) == rdones["__all__"]
+        if rdones["__all__"]:
+            ref_reset_with_known_order(ref, seed=300 + t)
