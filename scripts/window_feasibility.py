@@ -66,7 +66,7 @@ def main():
         np.pad(dmin_for_track(g, K), (0, w_pad - g["n_wp"]), constant_values=np.inf)
         for g in geoms]) for K in Ks}
     for K in Ks:
-        real = np.concatenate([dmin_for_track(g, K) for g in geoms])
+        real = np.concatenate([d[:g["n_wp"]] for d, g in zip(dmins[K], geoms)])
         print(f"K={K:4d}: D_min p1={np.percentile(real,1):6.1f} "
               f"p10={np.percentile(real,10):6.1f} med={np.median(real):6.1f} "
               f"segs scanned {2*(2*K+1)} / 768", file=sys.stderr)

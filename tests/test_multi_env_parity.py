@@ -17,13 +17,13 @@ from self_play_racing_tpu.envs import track as jtrack
 from environment.multi_racing_env import MultiRacingEnv as RefEnv
 
 
-def make_pair(track_seed=5, width=7.0, num_sensors=11):
+def make_pair(track_seed=5, width=7.0, num_sensors=11, num_agents=2):
     cps = [jtrack.gen_random_track(12, 60, 15, 0.4, 0.5, seed=track_seed)]
     pool = jtrack.make_track_pool(cps, [width], dtype=jnp.float64)
     track = jtrack.gather_tracks(pool, [0])
-    cfg = menv.MultiRacingConfig(num_agents=2, num_sensors=num_sensors)
-    ref = RefEnv(num_agents=2, num_sensors=num_sensors, track_pool=cps, track_id=0,
-                 track_width=width)
+    cfg = menv.MultiRacingConfig(num_agents=num_agents, num_sensors=num_sensors)
+    ref = RefEnv(num_agents=num_agents, num_sensors=num_sensors, track_pool=cps,
+                 track_id=0, track_width=width)
     return cfg, track, ref
 
 
@@ -170,12 +170,8 @@ def test_per_step_parity_config_fuzz(num_agents, num_sensors, track_seed, width)
     """Resynced per-step parity across agent counts and sensor configurations —
     the opponent-relative obs blocks, pairwise SAT response and placement scoring
     must match the oracle for every num_agents, not just the entry points' 2."""
-    cps = [jtrack.gen_random_track(12, 60, 15, 0.4, 0.5, seed=track_seed)]
-    pool = jtrack.make_track_pool(cps, [width], dtype=jnp.float64)
-    track = jtrack.gather_tracks(pool, [0])
-    cfg = menv.MultiRacingConfig(num_agents=num_agents, num_sensors=num_sensors)
-    ref = RefEnv(num_agents=num_agents, num_sensors=num_sensors, track_pool=cps,
-                 track_id=0, track_width=width)
+    cfg, track, ref = make_pair(track_seed=track_seed, width=width,
+                                num_sensors=num_sensors, num_agents=num_agents)
     ref_reset_with_known_order(ref, seed=track_seed)
     rng = np.random.RandomState(track_seed)
     step_fn = jax.jit(lambda tr, s, a: menv.step(cfg, tr, s, a))
