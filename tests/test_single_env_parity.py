@@ -153,3 +153,46 @@ def test_per_step_parity_config_fuzz(num_sensors, track_seed, width):
         np.testing.assert_allclose(np.asarray(jobs[0]), robs, rtol=0, atol=1e-6)
         if rterm or rtrunc:
             ref.reset()
+
+
+def test_lap_completion_parity():
+    """Drive through the start/finish line with all checkpoints collected: the
+    wraparound progress delta, finish bonus and step-dependent time bonus
+    (racing_env.py:112-116,145-150) must match the oracle on the finishing step."""
+    cfg, track, ref = make_pair()
+    ref.reset()
+    # teleport the oracle just before the line, aimed at waypoint 0, at speed
+    wp = ref.track.waypoints
+    n = len(wp)
+    src = wp[n - 4]
+    tgt = wp[1]
+    heading = float(np.arctan2(tgt[1] - src[1], tgt[0] - src[0]))
+    ref.car.x, ref.car.y = float(src[0]), float(src[1])
+    ref.car.angle = heading
+    ref.car.vx = 18.0 * np.cos(heading)
+    ref.car.vy = 18.0 * np.sin(heading)
+    ref.car.progress = (n - 4) / n
+    ref.last_progress = ref.car.progress
+    for k in ref.checkpoints:
+        ref.checkpoints[k] = True
+    ref.steps = 500
+
+    step_fn = jax.jit(lambda tr, s, a: jenv.step(cfg, tr, s, a))
+    finished_at = None
+    for t in range(30):
+        state = ref_state_to_jax(ref, cfg, track)
+        action = np.array([0.0, 1.0])
+        robs, rrew, rterm, rtrunc, rinfo = ref.step(action)
+        jstate, jobs, jrew, jterm, jtrunc, jinfo = step_fn(
+            track, state, jnp.asarray(action)[None, :]
+        )
+        assert float(jrew[0]) == pytest.approx(rrew, rel=0, abs=1e-9), f"step {t}"
+        assert bool(jstate.car.finished[0]) == ref.car.finished, f"step {t}"
+        assert bool(jterm[0]) == rterm
+        if ref.car.finished:
+            finished_at = t
+            # finishing reward includes the 100 bonus + max(0, 200 - steps/10)
+            assert rrew > 100.0
+            assert float(jinfo["progress"][0]) == 1.0
+            break
+    assert finished_at is not None, "car never completed the lap"
