@@ -193,3 +193,52 @@ def test_per_step_parity_config_fuzz(num_agents, num_sensors, track_seed, width)
         assert bool(jterm[0] | jtrunc[0]) == rdones["__all__"]
         if rdones["__all__"]:
             ref_reset_with_known_order(ref, seed=300 + t)
+
+
+def test_lap_completion_and_winner_parity():
+    """One car crosses the finish line with checkpoints collected: finish + time
+    bonus, terminated-on-any-finish, placement ranking and the +250 winner bonus
+    (multi_racing_env.py:176-211,252-259) must match the oracle exactly."""
+    cfg, track, ref = make_pair()
+    ref_reset_with_known_order(ref, seed=11)
+    wp = ref.track.waypoints
+    n = len(wp)
+    src = wp[n - 4]
+    tgt = wp[1]
+    heading = float(np.arctan2(tgt[1] - src[1], tgt[0] - src[0]))
+    # car 0: at speed just before the line, all checkpoints; car 1: mid-track
+    c0 = ref.cars[0]
+    c0.x, c0.y, c0.angle = float(src[0]), float(src[1]), heading
+    c0.vx, c0.vy = 18.0 * np.cos(heading), 18.0 * np.sin(heading)
+    c0.progress = (n - 4) / n
+    ref.agents_data[0]["last_progress"] = c0.progress
+    for k in ref.agents_data[0]["checkpoints"]:
+        ref.agents_data[0]["checkpoints"][k] = True
+    mid = wp[n // 2]
+    c1 = ref.cars[1]
+    c1.x, c1.y = float(mid[0]), float(mid[1])
+    c1.progress = 0.5
+    ref.agents_data[1]["last_progress"] = 0.5
+    ref.steps = 800
+
+    step_fn = jax.jit(lambda tr, s, a: menv.step(cfg, tr, s, a))
+    for t in range(30):
+        state = ref_state_to_jax(ref)
+        act = np.array([[0.0, 1.0], [0.0, -1.0]])
+        robs, rrew, rdones, rtrunc, rinfos = ref.step({"0": act[0], "1": act[1]})
+        jstate, jobs, jrew, jterm, jtrunc, jinfo = step_fn(
+            track, state, jnp.asarray(act)[None]
+        )
+        for i in range(2):
+            assert float(jrew[0, i]) == pytest.approx(rrew[f"{i}"], rel=0, abs=1e-9), \
+                f"step {t} agent {i}"
+        assert bool(jterm[0] | jtrunc[0]) == rdones["__all__"]
+        if rdones["__all__"]:
+            assert ref.cars[0].finished
+            # winner bonus (+250) landed on the finisher and placements match
+            assert rrew["0"] > 250.0
+            for i in range(2):
+                assert int(jinfo["placement"][0, i]) == rinfos[f"{i}"]["placement"]
+            assert int(jinfo["placement"][0, 0]) == 1
+            return
+    pytest.fail("car 0 never completed the lap")
