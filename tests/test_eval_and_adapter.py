@@ -167,3 +167,56 @@ def test_selfplay_wrapper_adapter_lockstep_with_reference():
         if d1 or tr1:
             break
     assert t > 20
+
+
+def test_rollout_multi_matches_reference_eval():
+    """Shared-policy 2-car eval through our batched rollout_multi vs the reference's
+    per-env eval loop (utils/metrics.py:80-150), near-deterministic policy. The
+    start-grid ordering is random on both sides, so pick a jax key whose ordering
+    matches the reference's draw before comparing trajectories."""
+    from self_play_racing_tpu.envs import multi as menv
+    from environment.multi_racing_env import MultiRacingEnv as RefMultiEnv
+    from utils.metrics import eval_multi_agent as ref_eval_multi_agent
+
+    width = 8.0
+    cps = [jtrack.gen_random_track(12, 60, 15, 0.4, 0.5, seed=9)]
+    pool = jtrack.make_track_pool(cps, [width], dtype=jnp.float64)
+    track = jtrack.gather_tracks(pool, [0])
+    env_cfg = menv.MultiRacingConfig(num_agents=2, num_sensors=11)
+
+    params = net.init_params(jax.random.key(1), env_cfg.obs_dim, 2)
+    log_std = jnp.full((2,), -20.0, jnp.float32)  # effectively deterministic
+    ref_agent = RefAgent(_Space((env_cfg.obs_dim,)), _Space((2,)))
+    ref_agent.load_state_dict(net.params_to_torch_state_dict(params, log_std))
+    ref_agent.eval()
+
+    ref_env = RefMultiEnv(num_agents=2, num_sensors=11, track_pool=cps, track_id=0,
+                          track_width=width)
+    np.random.seed(7)
+    ref_metrics = ref_eval_multi_agent(ref_env, ref_agent, torch.device("cpu"),
+                                       max_steps=400)
+    # reference reset (inside eval_multi_agent) consumed np.random under seed 7;
+    # find a jax key whose start ordering reproduces the same grid
+    np.random.seed(7)
+    ref_env2 = RefMultiEnv(num_agents=2, num_sensors=11, track_pool=cps, track_id=0,
+                           track_width=width)
+    ref_env2.reset()
+    want = np.array([round(float(c.x), 9) for c in ref_env2.cars])
+    key = None
+    for sk in range(64):
+        st = menv.reset_state(env_cfg, track, jax.random.key(sk))
+        got = np.array([round(float(st.x[0, i]), 9) for i in range(2)])
+        if np.allclose(got, want, atol=1e-9):
+            key = jax.random.key(sk)
+            break
+    assert key is not None, "no candidate key reproduced the reference start grid"
+
+    ours = M.rollout_multi(params, log_std, env_cfg, track, key,
+                           max_steps=400, deterministic=True)
+    assert bool(ours["finished"][0]) == ref_metrics["finished"]
+    assert bool(ours["crashed"][0]) == ref_metrics["crashed"]
+    assert abs(int(ours["steps"][0]) - ref_metrics["steps"]) <= 2
+    assert float(ours["total_reward"][0]) == pytest.approx(
+        ref_metrics["total_reward"], rel=0.05, abs=2.0)
+    assert float(ours["total_distance"][0]) == pytest.approx(
+        ref_metrics["total_distance"], rel=0.05, abs=2.0)
