@@ -93,10 +93,14 @@ def evaluate_single_agent_overall(grid, model_path, seed=42, deterministic=False
                              M.rollout_single, 2000, seed, deterministic)
 
 
-def evaluate_multi_agent_overall(grid, model_path, seed=42, deterministic=False):
-    """evaluate.py:68-122 equivalent: shared policy drives both cars."""
+def evaluate_multi_agent_overall(grid, model_path, seed=42, deterministic=False,
+                                 num_agents=2):
+    """evaluate.py:68-122 equivalent: shared policy drives all ``num_agents`` cars
+    (the reference evaluates 2; the policy must have been trained at this count —
+    the observation width depends on it)."""
     return _evaluate_overall(grid, model_path,
-                             menv.MultiRacingConfig(num_agents=2, num_sensors=11),
+                             menv.MultiRacingConfig(num_agents=num_agents,
+                                                    num_sensors=11),
                              M.rollout_multi, 3000, seed, deterministic)
 
 

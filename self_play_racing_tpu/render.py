@@ -43,7 +43,8 @@ def _held_out_track(track_seed: int, width: float = 7.0):
 
 def render_model(kind: str, model_path: str, out_path: str, track_seed: int = 123,
                  width: float = 7.0, max_steps: int = 3000, deterministic: bool = True,
-                 label: str | None = None, frame_skip: int = 1, seed: int = 0):
+                 label: str | None = None, frame_skip: int = 1, seed: int = 0,
+                 num_agents: int = 2):
     """Record one episode of ``model_path`` on a held-out track and write an mp4.
     Returns the recorded trajectory dict."""
     params, log_std, obs_norm = load_policy_bundle(model_path)
@@ -56,7 +57,7 @@ def render_model(kind: str, model_path: str, out_path: str, track_seed: int = 12
                                             deterministic=deterministic,
                                             obs_norm=obs_norm)
     else:
-        env_cfg = menv.MultiRacingConfig(num_agents=2, num_sensors=11)
+        env_cfg = menv.MultiRacingConfig(num_agents=num_agents, num_sensors=11)
         traj = viz.record_trajectory_multi(params, log_std, env_cfg, track, key,
                                            max_steps=max_steps,
                                            deterministic=deterministic,
@@ -87,6 +88,9 @@ def main(argv=None):
     p.add_argument("--track-width", type=float, default=7.0)
     p.add_argument("--max-steps", type=int, default=3000)
     p.add_argument("--frame-skip", type=int, default=1)
+    p.add_argument("--agents", type=int, default=2,
+                   help="cars per race for --multi models (policy must have been "
+                        "trained at this agent count: obs width depends on it)")
     p.add_argument("--sample", action="store_true",
                    help="sample actions instead of greedy mu")
     args = p.parse_args(argv)
@@ -103,7 +107,7 @@ def main(argv=None):
         out = args.out or f"static/{label}_race.mp4"
         render_model(kind, model, out, args.track_seed, args.track_width,
                      args.max_steps, deterministic=not args.sample, label=label,
-                     frame_skip=args.frame_skip)
+                     frame_skip=args.frame_skip, num_agents=args.agents)
         paths.append(out)
         labels.append(label)
     if args.grid and len(paths) >= 2:

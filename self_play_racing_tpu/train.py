@@ -105,12 +105,15 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
                 num_tracks=16, out="models/self_play_agent_scale_1B.npz",
                 info_out="data/training_info_self_play_scale_1B.json",
                 num_updates=None, checkpoint_dir="models/scale",
-                checkpoint_every=200, resume_from=None, **cfg_overrides):
+                checkpoint_every=200, resume_from=None, num_agents=2,
+                **cfg_overrides):
     """Scale-mode self-play: resident env state, per-env opponents, big batch.
 
     The TPU-native generalization beyond the reference's 16-env parity config
     (SURVEY quirk #7): 4096 envs tiled over a track pool, opponents sampled per
     env, no forced resets. One v5e chip trains 1B env-steps in ~6 minutes.
+    ``num_agents`` > 2 races the learner against that many frozen-pool seats
+    (the reference wrapper is 2-agent-only).
     """
     overrides = dict(
         total_timesteps=total_timesteps, num_envs=num_envs, num_steps=num_steps,
@@ -124,7 +127,7 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
     widths = [float(np.random.randint(6, 10)) for _ in range(num_tracks)]
     pool = trk.make_track_pool(cps, widths)
     track = trk.gather_tracks(pool, np.arange(cfg.num_envs) % num_tracks)
-    env_cfg = menv.MultiRacingConfig(num_agents=2, num_sensors=11)
+    env_cfg = menv.MultiRacingConfig(num_agents=num_agents, num_sensors=11)
 
     print("=" * 60)
     print("SELF PLAY PPO TRAINING (SCALE MODE)")
@@ -195,6 +198,9 @@ def main(argv=None):
     p.add_argument("--resume", default=None, metavar="CKPT",
                    help="multi/scale modes: resume from a full checkpoint "
                         "(e.g. models/checkpoint_update_30)")
+    p.add_argument("--agents", type=int, default=None,
+                   help="scale mode: cars per race (learner + N-1 frozen-pool "
+                        "opponents; default 2)")
     args = p.parse_args(argv)
     kw = {}
     if args.seed is not None:
@@ -211,6 +217,8 @@ def main(argv=None):
             skw["total_timesteps"] = args.total_timesteps
         if args.num_envs:
             skw["num_envs"] = args.num_envs
+        if args.agents:
+            skw["num_agents"] = args.agents
         train_scale(num_updates=args.num_updates, resume_from=args.resume, **skw)
     if args.mode in ("sb3", "all"):
         train_single_baseline(args.total_timesteps, **kw)

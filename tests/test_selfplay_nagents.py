@@ -87,6 +87,30 @@ def test_opponent_seats_act_independently():
     assert all(len(np.unique(np.round(xs[i], 9))) == 3 for i in range(n))
 
 
+def test_eval_grid_3agents(tmp_path):
+    """The batched eval grid runs at num_agents=3: a 3-agent-trained policy file
+    evaluates over a small track grid with finite aggregate metrics."""
+    from self_play_racing_tpu.evaluate import evaluate_multi_agent_overall
+    from self_play_racing_tpu.utils import metrics as M
+
+    env_cfg = menv.MultiRacingConfig(num_agents=3, num_sensors=11)
+    n = 2
+    cfg = self_play_config(
+        num_envs=n, num_steps=8, num_minibatches=1, update_epochs=1,
+        total_timesteps=n * 8 * 1,
+    )
+    tr = SelfPlayTrainer(cfg, env_cfg, _track(n))
+    tr.train()
+    model = str(tmp_path / "agent3.npz")
+    tr.save(model)
+
+    grid = M.build_eval_grid(num_tracks=2, num_runs=1, seed=42)
+    res = evaluate_multi_agent_overall(grid, model, num_agents=3, seed=0)
+    assert res["num_episodes"] == 2
+    for k in ("success_rate", "crash_rate", "avg_speed", "avg_progress"):
+        assert np.isfinite(res[k])
+
+
 def test_selfplay_trainer_3agents_end_to_end(tmp_path):
     """The full trainer (snapshot pool, opponent selection, checkpointing) runs on a
     3-agent env: obs_dim widens to sensors+4+2*4, snapshots land in the ring, and
