@@ -91,9 +91,21 @@ def main(argv=None):
     p.add_argument("--agents", type=int, default=2,
                    help="cars per race for --multi models (policy must have been "
                         "trained at this agent count: obs width depends on it)")
+    p.add_argument("--accelerator", action="store_true",
+                   help="record on the default JAX backend (TPU). Rendering rolls "
+                        "a single env, so the CLI defaults to the CPU backend — "
+                        "faster than compiling a batch-1 scan over the TPU tunnel")
     p.add_argument("--sample", action="store_true",
                    help="sample actions instead of greedy mu")
     args = p.parse_args(argv)
+
+    if not args.accelerator:
+        # must precede first backend touch; a no-op if the backend is already
+        # initialized (e.g. main() called from a live training script)
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
 
     jobs = [("single", m) for m in args.single] + [("multi", m) for m in args.multi]
     if not jobs:
