@@ -158,6 +158,7 @@ class SelfPlayTrainer(PPOTrainer):
     # ---- trainer hooks ---------------------------------------------------------
 
     def _pre_update(self):
+        super()._pre_update()  # track resampling (speed-weight guard is a no-op here)
         # host-side update counter: reading runner.train.update back would stall
         # the lagged-metrics pipeline on the in-flight update (trainer.train()).
         update = self._host_update

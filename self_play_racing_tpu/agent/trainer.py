@@ -73,6 +73,12 @@ class PPOTrainer:
         )
         self.training_info = {"steps": [], "rewards": []}
         self._host_update = 0  # host mirror of runner.train.update (see train())
+        # optional domain randomization: fn(update:int) -> new per-env TrackArrays
+        # (or None to keep the current pool); consulted before every update.
+        # Pairs with on-device procedural generation (envs/procgen.py) so a resample
+        # costs zero host round-trips.
+        self.track_resampler = None
+        self._reset_envs_jit = None
 
     @property
     def params(self):
@@ -182,6 +188,47 @@ class PPOTrainer:
             # the reference's *intended* schedule, 8 -> 14 (ppo.py:255-258)
             frac = max(0.0, 1.0 - self._host_update / self.cfg.num_updates)
             self.aux["speed_weight"] = jnp.float32(8.0 + (1.0 - frac) * 6.0)
+        if self.track_resampler is not None:
+            new_track = self.track_resampler(self._host_update)
+            if new_track is not None:
+                self.set_track(new_track)
+
+    def set_track(self, track, reset: bool = True):
+        """Swap the env geometry (e.g. an on-device resampled pool from
+        envs/procgen.py) for all subsequent updates. Shapes must match the
+        original track (same waypoint/segment padding) or the update re-compiles.
+
+        ``reset`` re-initializes every env on the new geometry (state from the old
+        track would be meaningless); in-flight episode statistics are discarded.
+        """
+        if isinstance(self.aux, dict):
+            self.aux = {**self.aux, "track": track}
+        else:
+            self.aux = track
+        if reset:
+            self.reset_envs()
+
+    def reset_envs(self):
+        """Re-reset all envs against the current aux, keeping learner state."""
+        if self._reset_envs_jit is None:
+            from ..envs import vector
+
+            def _re(runner, aux):
+                key, k_env, k_vec = jax.random.split(runner.key, 3)
+                env_state = self.hooks.reset(aux, k_env)
+                if self.hooks.refresh is not None:
+                    env_state, obs = self.hooks.refresh(aux, env_state)
+                else:
+                    obs = self.hooks.observe(aux, env_state)
+                return runner.replace(
+                    vec=vector.init(env_state, self.cfg.num_envs, k_vec),
+                    obs=obs.astype(jnp.float32),
+                    done=jnp.zeros((self.cfg.num_envs,), bool),
+                    key=key,
+                )
+
+            self._reset_envs_jit = jax.jit(_re)
+        self.runner = self._reset_envs_jit(self.runner, self.aux)
 
     def _post_update(self, metrics):
         """Hook after each update (self-play: periodic full checkpoints)."""

@@ -106,6 +106,7 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
                 info_out="data/training_info_self_play_scale_1B.json",
                 num_updates=None, checkpoint_dir="models/scale",
                 checkpoint_every=200, resume_from=None, num_agents=2,
+                resample_tracks_every=0, track_points=12,
                 **cfg_overrides):
     """Scale-mode self-play: resident env state, per-env opponents, big batch.
 
@@ -113,7 +114,11 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
     (SURVEY quirk #7): 4096 envs tiled over a track pool, opponents sampled per
     env, no forced resets. One v5e chip trains 1B env-steps in ~6 minutes.
     ``num_agents`` > 2 races the learner against that many frozen-pool seats
-    (the reference wrapper is 2-agent-only).
+    (the reference wrapper is 2-agent-only). ``resample_tracks_every`` > 0 turns
+    on domain randomization: every K updates a fresh ``num_tracks``-track pool
+    is generated *on device* (envs/procgen.py — no host round-trips) and all
+    envs restart on it; pools are keyed by update index, so resumes see the
+    same pool sequence.
     """
     overrides = dict(
         total_timesteps=total_timesteps, num_envs=num_envs, num_steps=num_steps,
@@ -122,11 +127,25 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
     overrides.update(cfg_overrides)
     cfg = self_play_config(**overrides)
     _seed_all(cfg.seed)
-    print(f"Generating {num_tracks}-track pool (tiled over {cfg.num_envs} envs)")
-    cps = trk.gen_tracks(num_tracks=num_tracks, seed=cfg.seed)
-    widths = [float(np.random.randint(6, 10)) for _ in range(num_tracks)]
-    pool = trk.make_track_pool(cps, widths)
-    track = trk.gather_tracks(pool, np.arange(cfg.num_envs) % num_tracks)
+    env_ids = np.arange(cfg.num_envs) % num_tracks
+    if resample_tracks_every:
+        import jax
+
+        from .envs import procgen as pg
+
+        # the initial pool comes from the same generator (same static shapes as
+        # every resampled pool -> the update never re-compiles on a swap)
+        print(f"Generating {num_tracks}-track pool on device "
+              f"(resampled every {resample_tracks_every} updates)")
+        pool = pg.gen_track_pool_device(
+            jax.random.key(cfg.seed), num_tracks, track_points)
+        track = trk.gather_tracks(pool, env_ids)
+    else:
+        print(f"Generating {num_tracks}-track pool (tiled over {cfg.num_envs} envs)")
+        cps = trk.gen_tracks(num_tracks=num_tracks, seed=cfg.seed)
+        widths = [float(np.random.randint(6, 10)) for _ in range(num_tracks)]
+        pool = trk.make_track_pool(cps, widths)
+        track = trk.gather_tracks(pool, env_ids)
     env_cfg = menv.MultiRacingConfig(num_agents=num_agents, num_sensors=11)
 
     print("=" * 60)
@@ -136,6 +155,19 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
           f"Batch: {cfg.batch_size:,} | Updates: {cfg.num_updates} | "
           f"Snapshot freq: {cfg.snapshot_freq} | Pool: {cfg.pool_size}")
     trainer = SelfPlayTrainer(cfg, env_cfg, track)
+    if resample_tracks_every:
+        import jax
+
+        from .envs import procgen as pg
+
+        def resample(update):
+            if update > 0 and update % resample_tracks_every == 0:
+                k = jax.random.fold_in(jax.random.key(cfg.seed), update)
+                new_pool = pg.gen_track_pool_device(k, num_tracks, track_points)
+                return trk.gather_tracks(new_pool, env_ids)
+            return None
+
+        trainer.track_resampler = resample
     # multi-hour runs need crash recovery: full checkpoint every `checkpoint_every`
     # updates (default 200 ≈ every 210M steps at the default batch) + --resume
     trainer.train(num_updates=num_updates, log_every=50,
@@ -201,6 +233,9 @@ def main(argv=None):
     p.add_argument("--agents", type=int, default=None,
                    help="scale mode: cars per race (learner + N-1 frozen-pool "
                         "opponents; default 2)")
+    p.add_argument("--resample-tracks-every", type=int, default=None, metavar="K",
+                   help="scale mode: resample the whole track pool on device "
+                        "every K updates (domain randomization; 0 = off)")
     args = p.parse_args(argv)
     kw = {}
     if args.seed is not None:
@@ -219,6 +254,8 @@ def main(argv=None):
             skw["num_envs"] = args.num_envs
         if args.agents:
             skw["num_agents"] = args.agents
+        if args.resample_tracks_every is not None:
+            skw["resample_tracks_every"] = args.resample_tracks_every
         train_scale(num_updates=args.num_updates, resume_from=args.resume, **skw)
     if args.mode in ("sb3", "all"):
         train_single_baseline(args.total_timesteps, **kw)
