@@ -121,9 +121,14 @@ def rollout_single(params, log_std, env_cfg: senv.RacingConfig, track: trk.Track
 
 @functools.lru_cache(maxsize=None)
 def _rollout_multi_jit(env_cfg: menv.MultiRacingConfig, max_steps: int,
-                       deterministic: bool):
+                       deterministic: bool, per_seat: bool = False):
     """Jitted device scan of rollout_multi, one program per (env_cfg, horizon,
-    mode), reused across models; track / params / obs_norm are arguments."""
+    mode), reused across models; track / params / obs_norm are arguments.
+
+    ``per_seat``: params/log_std/obs_norm carry a leading seat axis (one policy
+    per car — tournament matches); obs_norm must then be a stacked ObsNormState
+    (identity rows for un-normalized policies), never None.
+    """
     a = env_cfg.num_agents
     f32 = jnp.float32
 
@@ -134,10 +139,18 @@ def _rollout_multi_jit(env_cfg: menv.MultiRacingConfig, max_steps: int,
 
         def body(carry, key):
             state, obs, active, acc = carry
-            flat_obs = obs.reshape((n * a, -1)).astype(f32)
-            action = _policy_action(params, log_std, flat_obs, key, deterministic,
-                                    obs_norm)
-            action = action.reshape((n, a, -1))
+            if per_seat:
+                action = jax.vmap(
+                    lambda p, ls, o, k, nrm: _policy_action(
+                        p, ls, o, k, deterministic, nrm),
+                    in_axes=(0, 0, 1, 0, 0), out_axes=1,
+                )(params, log_std, obs.astype(f32), jax.random.split(key, a),
+                  obs_norm)
+            else:
+                flat_obs = obs.reshape((n * a, -1)).astype(f32)
+                action = _policy_action(params, log_std, flat_obs, key,
+                                        deterministic, obs_norm)
+                action = action.reshape((n, a, -1))
             nstate, nobs, rew, term, trunc, info = menv.step(env_cfg, track, state, action)
             done = term | trunc
             step_dist = jnp.sqrt((info["x"] - state.x) ** 2 + (info["y"] - state.y) ** 2)
@@ -205,6 +218,21 @@ def rollout_multi(params, log_std, env_cfg: menv.MultiRacingConfig,
         out["steps"] > 1, out["total_distance"] / out["steps"], 0.0
     )
     return out
+
+
+def rollout_match(params_stack, log_std_stack, obs_norm_stack,
+                  env_cfg: menv.MultiRacingConfig, track: trk.TrackArrays, key,
+                  max_steps: int = 3000, deterministic: bool = False):
+    """Head-to-head match rollout: one policy PER SEAT (tournament play, beyond
+    the reference's shared-policy multi eval). Stacked inputs have a leading
+    ``num_agents`` axis; ``obs_norm_stack`` is a stacked ObsNormState (identity
+    rows for policies trained without normalization). Returns the raw per-seat
+    accumulator ([envs, agents] arrays): final placement (1 = winner, 0 = episode
+    never ended inside ``max_steps``), finished, crashed, progress, total_reward,
+    speed, plus per-env steps."""
+    acc = _rollout_multi_jit(env_cfg, max_steps, deterministic, per_seat=True)(
+        params_stack, log_std_stack, track, key, obs_norm_stack)
+    return {k: np.asarray(v) for k, v in acc.items()}
 
 
 def aggregate(episodes: dict) -> dict:
