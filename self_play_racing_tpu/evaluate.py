@@ -104,6 +104,28 @@ def evaluate_multi_agent_overall(grid, model_path, seed=42, deterministic=False,
                              M.rollout_multi, 3000, seed, deterministic)
 
 
+def evaluate_multi_agent_procgen(model_path, num_tracks=40, num_points=12,
+                                 width_range=(4.0, 10.0), seed=777, eval_seed=42,
+                                 deterministic=False, num_agents=2,
+                                 max_steps=3000):
+    """Zero-shot track generalization: the same shared-policy multi eval, but on
+    ``num_tracks`` *unseen* tracks generated on device (envs/procgen.py) instead
+    of the reference grid — no model was ever trained on these. Pairs with
+    ``train.py scale --resample-tracks-every`` to measure what domain
+    randomization buys."""
+    from .envs import procgen as pg
+
+    pool = pg.gen_track_pool_device(jax.random.key(seed), num_tracks, num_points,
+                                    width_range=width_range)
+    params, log_std, obs_norm = load_policy_bundle(model_path)
+    eps = M.rollout_multi(
+        params, log_std,
+        menv.MultiRacingConfig(num_agents=num_agents, num_sensors=11),
+        pool, jax.random.key(eval_seed), max_steps=max_steps,
+        deterministic=deterministic, obs_norm=obs_norm)
+    return M.aggregate(eps)
+
+
 def _adapter_episode(env, predict, max_steps=2000):
     """One host-side episode through the gym adapter (utils/metrics.py:152-183
     equivalent): path length integrated from info positions, final-info stats."""

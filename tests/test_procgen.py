@@ -120,3 +120,16 @@ def test_scale_training_with_device_resampling():
     assert not np.allclose(np.asarray(tr.aux["track"].wp_x), np.asarray(track0.wp_x))
     assert np.isfinite(info["rewards"]).all()
     assert int(tr.runner.train.update) == 5
+
+
+def test_procgen_generalization_eval():
+    """Trained agents transfer zero-shot to unseen device-generated tracks."""
+    from self_play_racing_tpu.evaluate import evaluate_multi_agent_procgen
+
+    res = evaluate_multi_agent_procgen(
+        "models/self_play_agent_scale_1B.npz", num_tracks=4, seed=9,
+        max_steps=1200)
+    assert res["num_episodes"] == 4
+    # the 1B-step agent should complete most unseen tracks without crashing
+    assert res["success_rate"] >= 0.5
+    assert 0.0 <= res["crash_rate"] <= 0.5
