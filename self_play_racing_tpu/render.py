@@ -74,12 +74,39 @@ def render_model(kind: str, model_path: str, out_path: str, track_seed: int = 12
     return traj
 
 
+def render_match(model_paths, out_path, track_seed: int = 123, width: float = 7.0,
+                 max_steps: int = 3000, deterministic: bool = True,
+                 frame_skip: int = 1, seed: int = 0):
+    """Head-to-head race video: one policy per car (tournament-style match —
+    the reference renderer can only replay a shared policy). Any number of
+    models; obs width must match the seat count they were trained at."""
+    bundles = [load_policy_bundle(m) for m in model_paths]
+    env_cfg = menv.MultiRacingConfig(num_agents=len(model_paths), num_sensors=11)
+    geometry, track = _held_out_track(track_seed, width)
+    traj = viz.record_trajectory_match(bundles, env_cfg, track, jax.random.key(seed),
+                                       max_steps=max_steps,
+                                       deterministic=deterministic)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    names = [os.path.splitext(os.path.basename(m))[0] for m in model_paths]
+    label = " vs ".join(names)
+    frames = viz.render_video(geometry, traj, out_path, label=label,
+                              frame_skip=frame_skip)
+    prog = np.asarray(traj["progress"])[-1].reshape(-1)
+    summary = ", ".join(f"{n}: {p*100:.1f}%" for n, p in zip(names, prog))
+    print(f"match ({label}): {len(traj['x'])} steps, final progress {summary}, "
+          f"{frames} frames -> {out_path}")
+    return traj
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--single", action="append", default=[],
                    help="single-agent policy path (.npz or .pth)")
     p.add_argument("--multi", action="append", default=[],
                    help="self-play/multi policy path (.npz or .pth)")
+    p.add_argument("--vs", nargs="+", default=None, metavar="MODEL",
+                   help="head-to-head match: one policy PER CAR (2+ models), "
+                        "rendered as a single race video")
     p.add_argument("--out", default=None,
                    help="output mp4 (single model) — default static/<model>_race.mp4")
     p.add_argument("--grid", default=None,
@@ -107,9 +134,17 @@ def main(argv=None):
         except RuntimeError:
             pass
 
+    if args.vs:
+        if len(args.vs) < 2:
+            raise SystemExit("--vs needs at least 2 models")
+        render_match(args.vs, args.out or "static/match_race.mp4",
+                     args.track_seed, args.track_width, args.max_steps,
+                     deterministic=not args.sample, frame_skip=args.frame_skip)
+        return
+
     jobs = [("single", m) for m in args.single] + [("multi", m) for m in args.multi]
     if not jobs:
-        raise SystemExit("pass at least one --single/--multi model path")
+        raise SystemExit("pass at least one --single/--multi/--vs model path")
     if args.out and len(jobs) > 1:
         raise SystemExit("--out only applies to a single model; use --grid for many")
 

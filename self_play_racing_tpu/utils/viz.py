@@ -85,8 +85,9 @@ def record_trajectory_single(params, log_std, env_cfg: senv.RacingConfig,
 
 @functools.lru_cache(maxsize=None)
 def _record_multi_jit(env_cfg: menv.MultiRacingConfig, max_steps: int,
-                      deterministic: bool):
-    """Multi-car analog of _record_single_jit."""
+                      deterministic: bool, per_seat: bool = False):
+    """Multi-car analog of _record_single_jit. ``per_seat``: params/log_std/
+    obs_norm carry a leading seat axis — one policy per car (match rendering)."""
 
     def run(params, log_std, track, key, obs_norm):
         k_reset, k_run = jax.random.split(key)
@@ -94,10 +95,18 @@ def _record_multi_jit(env_cfg: menv.MultiRacingConfig, max_steps: int,
         def body(carry, key):
             state, obs, active = carry
             n, a = state.x.shape
-            action = M._policy_action(params, log_std,
-                                      obs.reshape((n * a, -1)).astype(jnp.float32),
-                                      key, deterministic, obs_norm)
-            action = action.reshape((n, a, -1))
+            if per_seat:
+                action = jax.vmap(
+                    lambda p, ls, o, k, nrm: M._policy_action(
+                        p, ls, o, k, deterministic, nrm),
+                    in_axes=(0, 0, 1, 0, 0), out_axes=1,
+                )(params, log_std, obs.astype(jnp.float32),
+                  jax.random.split(key, a), obs_norm)
+            else:
+                action = M._policy_action(params, log_std,
+                                          obs.reshape((n * a, -1)).astype(jnp.float32),
+                                          key, deterministic, obs_norm)
+                action = action.reshape((n, a, -1))
             nstate, nobs, rew, term, trunc, info = menv.step(env_cfg, track, state, action)
             done = term | trunc
             out = {
@@ -127,6 +136,21 @@ def record_trajectory_multi(params, log_std, env_cfg: menv.MultiRacingConfig,
     traj = {k: np.asarray(v)[:, 0]
             for k, v in run(params, log_std, track, key, obs_norm).items()}
     # exclude the row after the done step (it re-steps the frozen terminal state)
+    n = int(traj["active"].sum())
+    return {k: v[:n] for k, v in traj.items()}
+
+
+def record_trajectory_match(bundles, env_cfg: menv.MultiRacingConfig,
+                            track: trk.TrackArrays, key, max_steps=3000,
+                            deterministic=True):
+    """Head-to-head episode with one policy per seat (tournament-style match);
+    ``bundles`` is a list of (params, log_std, obs_norm_or_None), one per car.
+    Arrays shaped [T, A]."""
+    from ..tournament import stack_bundles
+
+    p, ls, nrm = stack_bundles(bundles, env_cfg.obs_dim)
+    run = _record_multi_jit(env_cfg, max_steps, deterministic, per_seat=True)
+    traj = {k: np.asarray(v)[:, 0] for k, v in run(p, ls, track, key, nrm).items()}
     n = int(traj["active"].sum())
     return {k: v[:n] for k, v in traj.items()}
 

@@ -103,3 +103,27 @@ def test_eval_training_plot(tmp_path):
     out = str(tmp_path / "curves.png")
     viz.eval_training({"A": str(tmp_path / "a.json"), "B": str(tmp_path / "b.json")}, out)
     assert os.path.getsize(out) > 1000
+
+
+def test_record_and_render_match(setup, tmp_path):
+    """Per-seat match recording (one policy per car) renders like any multi traj."""
+    cps, geometry, track = setup
+    env_cfg = menv.MultiRacingConfig(num_agents=2, num_sensors=11)
+    bundles = [
+        (net.init_params(jax.random.key(s), env_cfg.obs_dim, 2),
+         jnp.full((2,), -0.7, jnp.float32), None)
+        for s in (0, 1)
+    ]
+    traj = viz.record_trajectory_match(bundles, env_cfg, track, jax.random.key(2),
+                                       max_steps=120, deterministic=True)
+    assert 1 <= len(traj["x"]) <= 120
+    assert traj["x"].shape[1] == 2  # both seats recorded
+    out = str(tmp_path / "match.mp4")
+    frames = viz.render_video(geometry, traj, out, label="a vs b", frame_skip=4)
+    cap = cv2.VideoCapture(out)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == frames
+    cap.release()
+
+    # seats act differently: distinct policies should diverge within the episode
+    if len(traj["x"]) > 10:
+        assert not np.allclose(traj["x"][:, 0], traj["x"][:, 1])
