@@ -285,6 +285,10 @@ def main(argv=None):
     p.add_argument("--num-runs", type=int, default=5)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--deterministic", action="store_true")
+    p.add_argument("--procgen", action="store_true",
+                   help="also evaluate each --multi model zero-shot on "
+                        "--num-tracks UNSEEN device-generated tracks "
+                        "(envs/procgen.py) and report the transfer gap")
     args = p.parse_args(argv)
     models = {}
     for i, path in enumerate(args.single):
@@ -297,6 +301,14 @@ def main(argv=None):
         raise SystemExit("pass at least one --single/--multi/--sb3 model path")
     eval(models, args.num_tracks, args.num_runs, args.seed,
          deterministic=args.deterministic)
+    if args.procgen:
+        for path in args.multi:
+            r = evaluate_multi_agent_procgen(path, num_tracks=args.num_tracks,
+                                             deterministic=args.deterministic)
+            print(f"procgen zero-shot ({os.path.basename(path)}): "
+                  f"success_rate={r['success_rate']:.3f} "
+                  f"crash_rate={r['crash_rate']:.3f} "
+                  f"avg_speed={r['avg_speed']:.2f}")
 
 
 if __name__ == "__main__":

@@ -133,3 +133,31 @@ def test_procgen_generalization_eval():
     # the 1B-step agent should complete most unseen tracks without crashing
     assert res["success_rate"] >= 0.5
     assert 0.0 <= res["crash_rate"] <= 0.5
+
+
+def test_periodic_spline_properties():
+    """Periodicity and C1/C2 continuity at the seam — the defining properties of
+    the periodic cubic spline, independent of the scipy oracle."""
+    closed, t = _closed_polygon(seed=11, n=13)
+    tj, yj = jnp.asarray(t), jnp.asarray(closed[:, 0])
+    m = procgen.periodic_spline_m(tj, yj)
+    # second derivatives close the loop by construction
+    np.testing.assert_allclose(float(m[0]), float(m[-1]), rtol=1e-12)
+
+    def ev(x):
+        return float(procgen.eval_periodic_spline(tj, yj, m, jnp.asarray([x]))[0])
+
+    T = float(t[-1])
+    eps = 1e-6 * T
+    # value periodicity at the seam
+    np.testing.assert_allclose(ev(0.0), closed[0, 0], atol=1e-9)
+    np.testing.assert_allclose(ev(T - eps), ev(0.0), atol=1e-4)
+    # C1: one-sided slopes agree across the seam
+    d_left = (ev(T - eps) - ev(T - 2 * eps)) / eps
+    d_right = (ev(2 * eps) - ev(eps)) / eps
+    np.testing.assert_allclose(d_left, d_right, rtol=1e-3, atol=1e-3)
+    # C1/C2 at an interior knot
+    tk = float(t[5])
+    d_l = (ev(tk) - ev(tk - eps)) / eps
+    d_r = (ev(tk + eps) - ev(tk)) / eps
+    np.testing.assert_allclose(d_l, d_r, rtol=1e-3, atol=1e-3)
