@@ -34,8 +34,10 @@ from .track import PAD_XY, WAYPOINT_FACTOR, TrackArrays, _round_up
 def periodic_spline_m(t, y):
     """Second derivatives of the periodic cubic spline through (t, y).
 
-    t: [n+1] strictly increasing knots; y: [n+1] values with y[n] == y[0].
-    Returns M: [n+1] with M[n] == M[0]. Classical cyclic tridiagonal system:
+    t: [n+1] strictly increasing knots; y: [n+1] (or [n+1, d] for d curves
+    sharing the knots — the matrix depends only on t, so one factorization
+    serves every coordinate) with y[n] == y[0].
+    Returns M with M[n] == M[0]. Classical cyclic tridiagonal system:
     for each unknown M_i (i = 0..n-1, indices mod n)
 
         h_{i-1}/6 * M_{i-1} + (h_{i-1}+h_i)/3 * M_i + h_i/6 * M_{i+1}
@@ -43,7 +45,8 @@ def periodic_spline_m(t, y):
     """
     n = t.shape[0] - 1
     h = jnp.diff(t)                      # [n]
-    s = jnp.diff(y) / h                  # [n] interval slopes
+    hd = h[:, None] if y.ndim == 2 else h
+    s = jnp.diff(y, axis=0) / hd         # [n(, d)] interval slopes
     idx = jnp.arange(n)
     prev = (idx - 1) % n
     nxt = (idx + 1) % n
@@ -53,7 +56,7 @@ def periodic_spline_m(t, y):
     a = a.at[idx, nxt].add(h / 6.0)
     d = s - s[prev]
     m = jnp.linalg.solve(a, d)
-    return jnp.concatenate([m, m[:1]])
+    return jnp.concatenate([m, m[:1]], axis=0)
 
 
 def eval_periodic_spline(t, y, m, ts):
@@ -131,11 +134,12 @@ def build_track_arrays(control_points, track_width, pad_multiple: int = 128,
     n_wp = n * WAYPOINT_FACTOR
     ts = t[:, -1:] * (jnp.arange(n_wp, dtype=cp.dtype) / n_wp)    # [K, W]
 
-    def spline_1d(t1, y1, ts1):
-        return eval_periodic_spline(t1, y1, periodic_spline_m(t1, y1), ts1)
+    def spline_2d(t1, y2, ts1):
+        m2 = periodic_spline_m(t1, y2)  # one solve for both coordinates
+        return (eval_periodic_spline(t1, y2[:, 0], m2[:, 0], ts1),
+                eval_periodic_spline(t1, y2[:, 1], m2[:, 1], ts1))
 
-    wp_x = jax.vmap(spline_1d)(t, closed[..., 0], ts)             # [K, W]
-    wp_y = jax.vmap(spline_1d)(t, closed[..., 1], ts)
+    wp_x, wp_y = jax.vmap(spline_2d)(t, closed, ts)               # [K, W] each
 
     # tangents = next - this, closing the loop (np.diff(..., append=wp[:1]))
     tan_x = jnp.roll(wp_x, -1, axis=1) - wp_x

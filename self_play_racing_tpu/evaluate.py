@@ -302,13 +302,21 @@ def main(argv=None):
     eval(models, args.num_tracks, args.num_runs, args.seed,
          deterministic=args.deterministic)
     if args.procgen:
-        for path in args.multi:
+        if not args.multi:
+            print("--procgen: no --multi models to evaluate (flag only applies "
+                  "to multi policies)")
+        for i, path in enumerate(args.multi):
             r = evaluate_multi_agent_procgen(path, num_tracks=args.num_tracks,
                                              deterministic=args.deterministic)
+            label = f"self_play_{i}" if len(args.multi) > 1 else "self_play"
+            with open(os.path.join("data", f"eval_info_{label}.json")) as f:
+                grid = json.load(f)
             print(f"procgen zero-shot ({os.path.basename(path)}): "
                   f"success_rate={r['success_rate']:.3f} "
                   f"crash_rate={r['crash_rate']:.3f} "
-                  f"avg_speed={r['avg_speed']:.2f}")
+                  f"avg_speed={r['avg_speed']:.2f} | transfer gap vs grid: "
+                  f"success {r['success_rate'] - grid['success_rate']:+.3f} "
+                  f"speed {r['avg_speed'] - grid['avg_speed']:+.2f}")
 
 
 if __name__ == "__main__":

@@ -133,13 +133,22 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
 
         from .envs import procgen as pg
 
-        # the initial pool comes from the same generator (same static shapes as
-        # every resampled pool -> the update never re-compiles on a swap)
+        def pool_for_boundary(boundary: int):
+            """Per-env track view of the pool active from update ``boundary`` on.
+
+            Keyed by the boundary update index, so a resumed run lands on the
+            same pool the original run was training on at that update — not the
+            update-0 pool. Boundary 0 is the construction pool. All pools share
+            the generator's static shapes, so swaps never re-compile."""
+            k = jax.random.key(cfg.seed)
+            if boundary:
+                k = jax.random.fold_in(k, boundary)
+            return trk.gather_tracks(
+                pg.gen_track_pool_device(k, num_tracks, track_points), env_ids)
+
         print(f"Generating {num_tracks}-track pool on device "
               f"(resampled every {resample_tracks_every} updates)")
-        pool = pg.gen_track_pool_device(
-            jax.random.key(cfg.seed), num_tracks, track_points)
-        track = trk.gather_tracks(pool, env_ids)
+        track = pool_for_boundary(0)
     else:
         print(f"Generating {num_tracks}-track pool (tiled over {cfg.num_envs} envs)")
         cps = trk.gen_tracks(num_tracks=num_tracks, seed=cfg.seed)
@@ -156,15 +165,16 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
           f"Snapshot freq: {cfg.snapshot_freq} | Pool: {cfg.pool_size}")
     trainer = SelfPlayTrainer(cfg, env_cfg, track)
     if resample_tracks_every:
-        import jax
-
-        from .envs import procgen as pg
+        applied = {"boundary": 0}
 
         def resample(update):
-            if update > 0 and update % resample_tracks_every == 0:
-                k = jax.random.fold_in(jax.random.key(cfg.seed), update)
-                new_pool = pg.gen_track_pool_device(k, num_tracks, track_points)
-                return trk.gather_tracks(new_pool, env_ids)
+            # boundary-keyed, not multiple-triggered: a resume that lands
+            # mid-period (update % K != 0) still swaps to the pool that was
+            # active at checkpoint time instead of training on the initial pool
+            boundary = (update // resample_tracks_every) * resample_tracks_every
+            if boundary != applied["boundary"]:
+                applied["boundary"] = boundary
+                return pool_for_boundary(boundary)
             return None
 
         trainer.track_resampler = resample

@@ -161,3 +161,27 @@ def test_periodic_spline_properties():
     d_l = (ev(tk) - ev(tk - eps)) / eps
     d_r = (ev(tk + eps) - ev(tk)) / eps
     np.testing.assert_allclose(d_l, d_r, rtol=1e-3, atol=1e-3)
+
+
+def test_scale_resume_mid_period_restores_active_pool(tmp_path):
+    """Resuming between resample boundaries must swap to the pool that was
+    active at checkpoint time, not keep training on the update-0 pool."""
+    from self_play_racing_tpu.train import train_scale
+
+    kw = dict(total_timesteps=8 * 16 * 6, num_envs=8, num_steps=16, num_tracks=2,
+              track_points=10, resample_tracks_every=2,
+              checkpoint_dir=str(tmp_path / "ck"), checkpoint_every=3,
+              out=str(tmp_path / "m.npz"), info_out=str(tmp_path / "i.json"),
+              num_minibatches=2, update_epochs=1, seed=1, snapshot_freq=100)
+    train_scale(num_updates=4, **kw)  # boundaries swap at updates 2 and 4;
+                                      # full checkpoint lands at update 3
+    tr = train_scale(num_updates=1, **kw,
+                     resume_from=str(tmp_path / "ck" / "checkpoint_update_3"))
+    # update 4 (the one trained after resume) runs before the boundary-4 swap,
+    # so the active pool must be boundary 2's — keyed fold_in(key(seed), 2)
+    expected = jtrack.gather_tracks(
+        procgen.gen_track_pool_device(
+            jax.random.fold_in(jax.random.key(1), 2), 2, 10),
+        np.arange(8) % 2)
+    np.testing.assert_array_equal(np.asarray(tr.aux["track"].wp_x),
+                                  np.asarray(expected.wp_x))
