@@ -53,6 +53,11 @@ class EnvHooks(NamedTuple):
     # their state (self-play), called once per vector step on the merged state so
     # transition/reset skip their own sensing pass (see envs.vector.step).
     refresh: Callable = None
+    # optional: (aux, info, episode_record) -> [S] f32, computed per rollout step,
+    # summed over the rollout, and APPENDED to the packed metric vector — the host
+    # reads it from unpack_metrics()["_extra"] (self-play uses this for per-slot
+    # opponent win/game counts feeding PFSP sampling).
+    stats: Callable = None
 
 
 @struct.dataclass
@@ -298,6 +303,8 @@ def make_update_step(cfg: PPOConfig, hooks: EnvHooks, action_dim: int = 2):
                 "ep_length_sum": jnp.sum(jnp.where(rec["mask"], rec["length"], 0)),
                 "ep_count": jnp.sum(rec["mask"].astype(jnp.int32)),
             }
+            if hooks.stats is not None:
+                step_stats["extra"] = hooks.stats(aux, info, rec)
             return (vec, next_obs.astype(jnp.float32), next_done, key, norm), (
                 out, step_stats)
 
@@ -390,6 +397,10 @@ def make_update_step(cfg: PPOConfig, hooks: EnvHooks, action_dim: int = 2):
         # update instead of ~17 scalars x per-transfer tunnel latency
         assert tuple(metrics.keys()) == METRIC_NAMES
         packed = jnp.stack([jnp.asarray(v, jnp.float32) for v in metrics.values()])
+        if hooks.stats is not None:
+            # hook extras ride the same single transfer, appended after the
+            # named metrics (host side: unpack_metrics()["_extra"])
+            packed = jnp.concatenate([packed, sstats["extra"].sum(axis=0)])
         return new_runner, packed
 
     return update_step
@@ -403,6 +414,11 @@ METRIC_NAMES = (
 
 
 def unpack_metrics(packed):
-    """Packed f32 metric vector -> {name: float} with one host transfer."""
+    """Packed f32 metric vector -> {name: float} with one host transfer.
+    Anything beyond the named metrics (an EnvHooks.stats tail) lands under
+    ``"_extra"`` as an array."""
     vals = __import__("numpy").asarray(packed)
-    return dict(zip(METRIC_NAMES, vals))
+    out = dict(zip(METRIC_NAMES, vals))
+    if len(vals) > len(METRIC_NAMES):
+        out["_extra"] = vals[len(METRIC_NAMES):]
+    return out

@@ -37,8 +37,14 @@ from . import ppo
 from .trainer import PPOTrainer
 
 
-def make_selfplay_hooks(env_cfg: menv.MultiRacingConfig) -> ppo.EnvHooks:
-    """EnvHooks over the self-play view; aux = {"track": ..., "opp": ...}."""
+def make_selfplay_hooks(env_cfg: menv.MultiRacingConfig,
+                        pool_size: int = 0) -> ppo.EnvHooks:
+    """EnvHooks over the self-play view; aux = {"track": ..., "opp": ...}.
+
+    ``pool_size`` > 0 adds a stats hook reporting per-slot [wins..., games...]
+    of the learner against each pool opponent, measured from rollout episode
+    outcomes (placement 1 = learner won) — the signal PFSP sampling feeds on.
+    """
 
     def reset(aux, key):
         return sp.reset_state_deferred(env_cfg, aux["track"], key)
@@ -53,8 +59,21 @@ def make_selfplay_hooks(env_cfg: menv.MultiRacingConfig) -> ppo.EnvHooks:
     def refresh(aux, state):
         return sp.refresh(env_cfg, aux["track"], state)
 
+    def stats(aux, info, rec):
+        opp = aux["opp"]
+        mask = rec["mask"]  # episodes that ended this step (terminal info valid)
+        idx = jnp.broadcast_to(opp["idx"], mask.shape).astype(jnp.int32)
+        ended = mask & jnp.broadcast_to(opp["use_policy"], mask.shape)
+        won = ended & (info["placement"] == 1)
+        wins = jax.ops.segment_sum(won.astype(jnp.float32), idx,
+                                   num_segments=pool_size)
+        games = jax.ops.segment_sum(ended.astype(jnp.float32), idx,
+                                    num_segments=pool_size)
+        return jnp.concatenate([wins, games])
+
     return ppo.EnvHooks(reset=reset, transition=transition, observe=observe,
-                        refresh=refresh)
+                        refresh=refresh,
+                        stats=stats if pool_size > 0 else None)
 
 
 class SelfPlayTrainer(PPOTrainer):
@@ -72,6 +91,11 @@ class SelfPlayTrainer(PPOTrainer):
         self.checkpoint_every = 10  # reference interval (self_play_ppo.py:154)
         self._resumed_at_update = -1  # skip re-saving the checkpoint just loaded
         self._pool_count_by_update = {}  # update idx -> pool size used for it
+        # learner-vs-slot outcome counters from rollout episodes (the PFSP
+        # sampling signal); one update lagged by the metrics pipeline, zeroed
+        # when a ring slot is overwritten
+        self.pool_wins = np.zeros((cfg.pool_size,), np.float64)
+        self.pool_games = np.zeros((cfg.pool_size,), np.float64)
 
         # stacked pool, zero-initialized; masked out via pool_count until filled
         proto = net.init_params(jax.random.key(0), env_cfg.obs_dim,
@@ -101,8 +125,11 @@ class SelfPlayTrainer(PPOTrainer):
                 "use_policy": jnp.zeros(idx_shape, bool),
             },
         }
-        super().__init__(cfg, env_cfg, track, hooks=make_selfplay_hooks(env_cfg), aux=aux)
+        super().__init__(cfg, env_cfg, track,
+                         hooks=make_selfplay_hooks(env_cfg, cfg.pool_size),
+                         aux=aux)
         self.training_info["opponent_pool_size"] = []
+        self.training_info["pool_win_rate"] = []
 
     # ---- pool management -------------------------------------------------------
 
@@ -133,16 +160,34 @@ class SelfPlayTrainer(PPOTrainer):
             new_pool["norm_var"] = self.pool["norm_var"].at[slot].set(norm.var)
         self.pool = new_pool
         self.num_snapshots += 1
+        # the slot now holds a different opponent: its outcome history is void
+        self.pool_wins[slot] = 0.0
+        self.pool_games[slot] = 0.0
+
+    def opponent_weights(self) -> np.ndarray:
+        """PFSP sampling distribution over the live pool slots: hard opponents
+        (low learner win rate) get more play, weight (1-p)^pfsp_power with a
+        Laplace-smoothed p = (wins+1)/(games+2)."""
+        count = self.pool_count
+        p_win = ((self.pool_wins[:count] + 1.0)
+                 / (self.pool_games[:count] + 2.0))
+        w = (1.0 - p_win) ** self.cfg.pfsp_power
+        return w / w.sum()
 
     def select_opponent(self):
-        """Uniform choice over the live pool (self_play_ppo.py:40-44); empty pool ->
-        random-action opponent."""
+        """Choice over the live pool — uniform (self_play_ppo.py:40-44) or
+        PFSP-weighted (cfg.opponent_sampling); empty pool -> random-action
+        opponent."""
         count = self.pool_count
         cfg = self.cfg
         shape = (cfg.num_envs,) if cfg.opponent_per_env else ()
         if count == 0:
             idx = np.zeros(shape, np.int32)
             use = np.zeros(shape, bool)
+        elif cfg.opponent_sampling == "pfsp":
+            idx = self._opp_rng.choice(
+                count, size=shape, p=self.opponent_weights()).astype(np.int32)
+            use = np.ones(shape, bool)
         else:
             idx = self._opp_rng.randint(0, count, size=shape).astype(np.int32)
             use = np.ones(shape, bool)
@@ -183,8 +228,15 @@ class SelfPlayTrainer(PPOTrainer):
     def _post_update(self, metrics):
         update = int(metrics["update"])
         count = self._pool_count_by_update.pop(update, self.pool_count)
+        extra = metrics.get("_extra")
+        if extra is not None and extra.size == 2 * self.pool_size:
+            self.pool_wins += extra[: self.pool_size].astype(np.float64)
+            self.pool_games += extra[self.pool_size:].astype(np.float64)
         if int(metrics["episodes"]) > 0:
             self.training_info["opponent_pool_size"].append(count)
+            games = self.pool_games.sum()
+            self.training_info["pool_win_rate"].append(
+                float(self.pool_wins.sum() / games) if games > 0 else float("nan"))
 
     # ---- checkpoint / resume (self_play_ppo.py:52-68, 154-167) ----------------
 
@@ -205,6 +257,8 @@ class SelfPlayTrainer(PPOTrainer):
                 dataclasses.replace(self.cfg)
             ),
             "training_info": self.training_info,
+            "pool_wins": self.pool_wins.tolist(),
+            "pool_games": self.pool_games.tolist(),
         }
         ckpt.save_pytree(path, self._ckpt_tree(), meta)
         print(f"Saved full checkpoint to {path}")
@@ -220,6 +274,10 @@ class SelfPlayTrainer(PPOTrainer):
         self.training_info = meta.get(
             "training_info", {"steps": [], "rewards": [], "opponent_pool_size": []}
         )
+        self.training_info.setdefault("pool_win_rate", [])
+        if "pool_wins" in meta:  # PFSP outcome counters (older ckpts lack them)
+            self.pool_wins = np.asarray(meta["pool_wins"], np.float64)
+            self.pool_games = np.asarray(meta["pool_games"], np.float64)
         print(f"Loaded checkpoint from {path} "
               f"(update {int(self.runner.train.update)}, pool {self.pool_count})")
 

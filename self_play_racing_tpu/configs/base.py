@@ -69,6 +69,15 @@ class PPOConfig:
     opponent_per_env: bool = False
     reset_envs_each_update: bool = False
 
+    # opponent sampling over the snapshot pool: "uniform" (reference,
+    # self_play_ppo.py:40-44) or "pfsp" — prioritized fictitious self-play:
+    # slots the learner loses to are sampled more often, weight
+    # (1 - winrate)^pfsp_power with winrates measured from training-rollout
+    # episode outcomes (Laplace-smoothed, one update lagged by the metrics
+    # pipeline, reset when a ring slot is overwritten).
+    opponent_sampling: str = "uniform"
+    pfsp_power: float = 2.0
+
     def __post_init__(self):
         if self.num_envs <= 0 or self.num_steps <= 0:
             raise ValueError(
@@ -89,6 +98,11 @@ class PPOConfig:
             raise ValueError(
                 f"snapshot_freq={self.snapshot_freq} and pool_size={self.pool_size} "
                 f"must be enabled together (both > 0) or both 0"
+            )
+        if self.opponent_sampling not in ("uniform", "pfsp"):
+            raise ValueError(
+                f"opponent_sampling={self.opponent_sampling!r} must be "
+                f"'uniform' or 'pfsp'"
             )
 
     @property

@@ -246,10 +246,16 @@ def main(argv=None):
     p.add_argument("--resample-tracks-every", type=int, default=None, metavar="K",
                    help="scale mode: resample the whole track pool on device "
                         "every K updates (domain randomization; 0 = off)")
+    p.add_argument("--pfsp", action="store_true",
+                   help="scale/multi modes: prioritized fictitious self-play — "
+                        "sample pool opponents by (1-winrate)^2 instead of "
+                        "uniformly, from training-rollout outcomes")
     args = p.parse_args(argv)
     kw = {}
     if args.seed is not None:
         kw["seed"] = args.seed
+    if args.pfsp:
+        kw["opponent_sampling"] = "pfsp"
     if args.mode in ("multi", "all"):
         train_multi(args.total_timesteps, args.num_envs,
                     num_updates=args.num_updates, resume_from=args.resume, **kw)
