@@ -42,6 +42,33 @@ def main():
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
+    # Tunnel floor: one trivial dispatch + host transfer. Over the axon tunnel
+    # this is ~10-30 ms; every measurement below chains `reps` dispatches before
+    # its single sync so the floor amortizes to floor/reps per unit of work.
+    tiny = jax.jit(lambda x: x + 1)
+    float(tiny(jnp.float32(0)))  # compile
+    floors = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        float(tiny(jnp.float32(i)))
+        floors.append(time.perf_counter() - t0)
+    print(f"tunnel dispatch+sync floor: {min(floors)*1e3:.1f} ms", file=sys.stderr)
+
+    def best_window(run_once, sync, n_windows=3, n_reps=5):
+        """Best-of-N windows of `n_reps` chained dispatches + ONE sync: the shared
+        TPU tunnel adds 10-30% run-to-run noise, and the fastest window is the
+        closest estimate of the device's actual rate (the production train loop
+        is pipelined, so per-dispatch sync latency is not part of its
+        steady-state cost). Returns (best seconds/rep, all window times)."""
+        dts = []
+        for _ in range(n_windows):
+            t0 = time.perf_counter()
+            for _ in range(n_reps):
+                run_once()
+            sync()
+            dts.append((time.perf_counter() - t0) / n_reps)
+        return min(dts), dts
+
     cps = trk.gen_tracks(num_tracks, seed=1)
     widths = [float(np.random.RandomState(i).randint(6, 10)) for i in range(num_tracks)]
     pool = trk.make_track_pool(cps, widths, dtype=jnp.float32)
@@ -81,21 +108,17 @@ def main():
     float(rsum)  # host transfer: the only reliable sync over the TPU tunnel
     print(f"compile + first run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    # best of 3 windows: the shared TPU tunnel adds 10-30% run-to-run noise, and
-    # the fastest window is the closest estimate of the device's actual rate
-    dts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            vstate, obs, key, rsum = rollout_jit(track, params, vstate, obs, key)
-        float(rsum)
-        dts.append(time.perf_counter() - t0)
-    dt = min(dts)
+    box = [(vstate, obs, key, rsum)]
 
-    steps = num_envs * scan_steps * reps
+    def roll_once():
+        v, o, k, _ = box[0]
+        box[0] = rollout_jit(track, params, v, o, k)
+
+    dt, dts = best_window(roll_once, lambda: float(box[0][3]), n_reps=reps)
+    steps = num_envs * scan_steps
     sps = steps / dt
-    print(f"{steps:,} env-steps in best window {dt:.3f}s "
-          f"(windows: {', '.join(f'{d:.3f}' for d in dts)})", file=sys.stderr)
+    print(f"rollout: {steps*reps:,} env-steps/window, best {dt*reps:.3f}s "
+          f"(windows: {', '.join(f'{d*reps:.3f}' for d in dts)})", file=sys.stderr)
 
     # secondary: full PPO training throughput (rollout + GAE + 10x16 minibatch update)
     from self_play_racing_tpu.agent.trainer import PPOTrainer
@@ -108,17 +131,15 @@ def main():
     trainer = PPOTrainer(cfg, env_cfg, track)
     trainer.runner, m = trainer.update_step(trainer.runner, trainer.aux)
     unpack_metrics(m)
-    # chain updates and sync once: the production train loop is pipelined (metrics
-    # for update N are consumed after dispatching N+1), so per-update dispatch+sync
-    # tunnel latency (~23 ms over axon) is not part of its steady-state cost
-    reps_train = 5
-    t0 = time.perf_counter()
-    for _ in range(reps_train):
-        trainer.runner, m = trainer.update_step(trainer.runner, trainer.aux)
-    unpack_metrics(m)
-    tdt = (time.perf_counter() - t0) / reps_train
+    last_m = [m]
+
+    def train_once():
+        trainer.runner, last_m[0] = trainer.update_step(trainer.runner, trainer.aux)
+
+    tdt, tdts = best_window(train_once, lambda: unpack_metrics(last_m[0]))
     print(f"PPO training: {tdt*1e3:.0f} ms/update = "
-          f"{cfg.batch_size/tdt/1e6:.2f} M env-steps/s = {1/tdt:.2f} updates/s",
+          f"{cfg.batch_size/tdt/1e6:.2f} M env-steps/s = {1/tdt:.2f} updates/s "
+          f"(windows ms: {', '.join(f'{d*1e3:.0f}' for d in tdts)})",
           file=sys.stderr)
 
     # tertiary: self-play training throughput (2-agent env + frozen-opponent pool)
@@ -134,13 +155,15 @@ def main():
     sp.select_opponent()
     sp.runner, m = sp.update_step(sp.runner, sp.aux)
     unpack_metrics(m)
-    t0 = time.perf_counter()
-    for _ in range(reps_train):
-        sp.runner, m = sp.update_step(sp.runner, sp.aux)
-    unpack_metrics(m)
-    sdt = (time.perf_counter() - t0) / reps_train
+    last_sp = [m]
+
+    def sp_once():
+        sp.runner, last_sp[0] = sp.update_step(sp.runner, sp.aux)
+
+    sdt, sdts = best_window(sp_once, lambda: unpack_metrics(last_sp[0]))
     print(f"Self-play training: {sdt*1e3:.0f} ms/update = "
-          f"{sp_cfg.batch_size/sdt/1e6:.2f} M env-steps/s = {1/sdt:.2f} updates/s",
+          f"{sp_cfg.batch_size/sdt/1e6:.2f} M env-steps/s = {1/sdt:.2f} updates/s "
+          f"(windows ms: {', '.join(f'{d*1e3:.0f}' for d in sdts)})",
           file=sys.stderr)
     print(json.dumps({
         "metric": "env_steps_per_s",

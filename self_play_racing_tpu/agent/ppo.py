@@ -190,25 +190,60 @@ def run_ppo_update(cfg: PPOConfig, opt, params, opt_state, log_std, lr,
     Returns (params, opt_state, stopped, stats); ``stats`` are [epochs, minibatches]
     f32 arrays, zero-filled past the exit point, with ``stats["computed"]`` marking
     executed minibatches and ``stats["applied"]`` the applied ones.
+
+    ``cfg.data_shards`` = D > 1 selects the shard-local layout for data-parallel
+    meshes: the flat batch is rearranged to [D, B/D, ...] with the shard axis first
+    (a local reshape when num_envs is sharded over 'data' in D equal pieces), each
+    shard permutes its own samples with an independent per-epoch PRP, and every
+    minibatch takes an equal mb/D stratum from each shard via a batched local
+    gather. The global-permutation path (D=1, reference parity) instead gathers
+    blocks from every device's shard — XLA emits one all-gather per Batch field
+    per minibatch (measured: 6 x E x M collectives per update on an 8-device
+    mesh, scripts/inspect_minibatch_hlo.py). With D = mesh data-axis size only
+    the scalar/gradient all-reduces remain (asserted in tests/test_parallel.py).
+    Minibatch loss/KL semantics are unchanged: means still run over the full
+    minibatch (global reductions), only sample->minibatch assignment differs
+    (stratified per shard instead of one global shuffle).
     """
     b = cfg.batch_size
+    d_shards = cfg.data_shards
+    # Per-shard env count (the whole batch when D=1). Flat index is t*num_envs + n.
+    n_sub = cfg.num_envs // d_shards
     # shuffle granularity: permute contiguous blocks (DMA-friendly gather) when the
-    # shapes allow it, else fall back to per-sample permutation. Flat index is
-    # t*num_envs + n, so a block must divide num_envs or it would span consecutive
-    # timesteps of the same envs — temporally correlated samples locked into the
-    # same minibatch every epoch. gcd keeps blocks within one timestep (64 at the
-    # 4096-env scale configs, num_envs at the reference's 16).
-    block = math.gcd(cfg.shuffle_block_size, cfg.num_envs)
-    if block <= 1 or b % block != 0 or cfg.minibatch_size % block != 0:
+    # shapes allow it, else fall back to per-sample permutation. A block must divide
+    # the per-shard env count or it would span consecutive timesteps of the same
+    # envs — temporally correlated samples locked into the same minibatch every
+    # epoch (and, for D>1, straddle a shard boundary). gcd keeps blocks within one
+    # timestep (64 at the 4096-env scale configs, num_envs at the reference's 16).
+    b_sub = b // d_shards                       # samples per shard
+    mb_sub = cfg.minibatch_size // d_shards     # stratum per shard per minibatch
+    block = math.gcd(cfg.shuffle_block_size, n_sub)
+    if block <= 1 or b_sub % block != 0 or mb_sub % block != 0:
         block = 1
-    n_units = b // block
-    mb_units = cfg.minibatch_size // block
-    blocked = Batch(*(x.reshape((n_units, block) + x.shape[1:]) for x in flat))
+    n_units = b_sub // block
+    mb_units = mb_sub // block
+    if d_shards == 1:
+        blocked = Batch(*(x.reshape((1, n_units, block) + x.shape[1:]) for x in flat))
+    else:
+        # [T*N, ...] -> [T, D, n_sub, ...] -> [D, T, n_sub, ...] -> [D, units, block, ...]
+        # The D axis carries the 'data' sharding, so the swap + reshapes move no
+        # data across devices and the per-shard gather below stays local.
+        blocked = Batch(*(
+            x.reshape((cfg.num_steps, d_shards, n_sub) + x.shape[1:])
+             .swapaxes(0, 1)
+             .reshape((d_shards, n_units, block) + x.shape[1:])
+            for x in flat
+        ))
 
     e_total = cfg.update_epochs
     m_total = cfg.num_minibatches
     ekeys = jax.random.split(key, e_total)
-    perms = jax.vmap(lambda k: epoch_permutation(k, n_units))(ekeys)  # [E, n_units]
+    if d_shards == 1:
+        # [E, 1, n_units]; key stream identical to the pre-data_shards layout.
+        perms = jax.vmap(lambda k: epoch_permutation(k, n_units))(ekeys)[:, None]
+    else:
+        dkeys = jax.vmap(lambda k: jax.random.split(k, d_shards))(ekeys)  # [E, D]
+        perms = jax.vmap(jax.vmap(lambda k: epoch_permutation(k, n_units)))(dkeys)
 
     stats0 = {
         name: jnp.zeros((e_total, m_total), jnp.float32)
@@ -227,9 +262,13 @@ def run_ppo_update(cfg: PPOConfig, opt, params, opt_state, log_std, lr,
         # Gather the minibatch directly from the (unshuffled) blocked batch: same
         # composition as materializing the shuffled epoch, but the gather fuses
         # into its consumers (~25% faster than a full-batch shuffled copy on v5e).
-        idx = jax.lax.dynamic_slice(perms, (e, m * mb_units), (1, mb_units))[0]
+        # The take is batched over the shard axis (one local gather per shard).
+        idx = jax.lax.dynamic_slice(
+            perms, (e, jnp.zeros_like(e), m * mb_units),
+            (1, d_shards, mb_units))[0]
         mb = Batch(*(
-            jnp.take(x, idx, axis=0).reshape((cfg.minibatch_size,) + x.shape[2:])
+            jax.vmap(lambda xd, id_: jnp.take(xd, id_, axis=0))(x, idx)
+               .reshape((cfg.minibatch_size,) + x.shape[3:])
             for x in blocked
         ))
         (loss, st), grads = jax.value_and_grad(_ppo_loss, has_aux=True)(

@@ -191,14 +191,14 @@ class SelfPlayTrainer(PPOTrainer):
         else:
             idx = self._opp_rng.randint(0, count, size=shape).astype(np.int32)
             use = np.ones(shape, bool)
-        self.aux["opp"] = {
+        self.aux["opp"] = self._place_aux({
             "params": self.pool["params"],
             "log_std": self.pool["log_std"],
             "norm_mean": self.pool.get("norm_mean"),
             "norm_var": self.pool.get("norm_var"),
             "idx": jnp.asarray(idx),
             "use_policy": jnp.asarray(use),
-        }
+        })
 
     # ---- trainer hooks ---------------------------------------------------------
 

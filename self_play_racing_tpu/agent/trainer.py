@@ -79,6 +79,27 @@ class PPOTrainer:
         # costs zero host round-trips.
         self.track_resampler = None
         self._reset_envs_jit = None
+        self._mesh = None  # set by shard(); re-applied on aux swaps
+
+    def shard(self, mesh):
+        """Distribute the trainer over a device mesh: env-batch leaves over 'data',
+        params replicated (or tensor-sharded over 'model' on a 2-D mesh). Pair with
+        ``cfg.data_shards = mesh data-axis size`` so the minibatch shuffle stays
+        shard-local (see ppo.run_ppo_update); sharding is legal either way, the
+        config only controls the communication pattern."""
+        from ..parallel import mesh as pmesh
+
+        self._mesh = mesh
+        self.runner, self.aux = pmesh.shard_runner(
+            self.runner, self.aux, mesh, self.cfg.num_envs)
+
+    def _place_aux(self, aux):
+        """Re-place freshly built aux leaves under the active mesh (if any)."""
+        if self._mesh is None:
+            return aux
+        from ..parallel import mesh as pmesh
+
+        return pmesh.shard_by_env_axis(aux, self._mesh, self.cfg.num_envs)
 
     @property
     def params(self):
@@ -201,6 +222,7 @@ class PPOTrainer:
         ``reset`` re-initializes every env on the new geometry (state from the old
         track would be meaningless); in-flight episode statistics are discarded.
         """
+        track = self._place_aux(track)
         if isinstance(self.aux, dict):
             self.aux = {**self.aux, "track": track}
         else:

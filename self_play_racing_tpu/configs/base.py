@@ -48,6 +48,18 @@ class PPOConfig:
     # TPU; set 1 for an exact per-sample uniform permutation.
     shuffle_block_size: int = 64
 
+    # Shard-local minibatch shuffling for data-parallel meshes. With the default
+    # global permutation, every minibatch gathers blocks from every device's shard
+    # — XLA emits one all-gather per Batch field per minibatch (6 x epochs x
+    # minibatches collectives per update, measured on an 8-device mesh). Setting
+    # this to the mesh's data-axis size keeps each device's samples resident:
+    # every shard permutes its own rollout slice independently per epoch and
+    # contributes an equal stratum to each minibatch, so the per-minibatch gather
+    # is a batched local take_along_axis (zero collectives — asserted in
+    # tests/test_parallel.py) and only the gradient/scalar all-reduces remain.
+    # 1 = reference-parity global shuffle.
+    data_shards: int = 1
+
     # log-std anneal endpoints (ppo.py:250-253 single; self_play_ppo.py:135-139 self-play)
     log_std_start: float = -0.5
     log_std_end: float = -1.6
@@ -99,6 +111,20 @@ class PPOConfig:
                 f"snapshot_freq={self.snapshot_freq} and pool_size={self.pool_size} "
                 f"must be enabled together (both > 0) or both 0"
             )
+        if self.data_shards < 1:
+            raise ValueError(f"data_shards={self.data_shards} must be >= 1")
+        if self.data_shards > 1:
+            if self.num_envs % self.data_shards != 0:
+                raise ValueError(
+                    f"num_envs={self.num_envs} must be divisible by "
+                    f"data_shards={self.data_shards} (one equal env shard per device)"
+                )
+            if self.minibatch_size % self.data_shards != 0:
+                raise ValueError(
+                    f"minibatch_size={self.minibatch_size} must be divisible by "
+                    f"data_shards={self.data_shards} (each shard contributes an "
+                    f"equal stratum per minibatch)"
+                )
         if self.opponent_sampling not in ("uniform", "pfsp"):
             raise ValueError(
                 f"opponent_sampling={self.opponent_sampling!r} must be "

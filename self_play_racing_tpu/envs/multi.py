@@ -178,26 +178,27 @@ def observe(cfg: MultiRacingConfig, track: TrackArrays, state: MultiState) -> jn
     ang_vel = jnp.zeros_like(v_fwd)  # quirk #1 again: never written after reset
     feats = jnp.stack([v_fwd, v_lat, ang_vel, state.last_steering], axis=-1)
 
-    # opponent-relative features, in reference agent-index order (skip self)
-    max_td = track.max_track_distance[:, None].astype(dtype)
-    opp_blocks = []
-    for i in range(a):
-        per_opp = []
-        for j in range(a):
-            if j == i:
-                continue
-            rel_x = state.x[:, j] - state.x[:, i]
-            rel_y = state.y[:, j] - state.y[:, i]
-            lrx = jnp.clip((rel_x * ca[:, i] + rel_y * sa[:, i]) / max_td[:, 0], -1.0, 1.0)
-            lry = jnp.clip((-rel_x * sa[:, i] + rel_y * ca[:, i]) / max_td[:, 0], -1.0, 1.0)
-            rel_vx = state.vx[:, j] - state.vx[:, i]
-            rel_vy = state.vy[:, j] - state.vy[:, i]
-            lvx = jnp.clip((rel_vx * ca[:, i] + rel_vy * sa[:, i]) / max_speed, -1.0, 1.0)
-            lvy = jnp.clip((-rel_vx * sa[:, i] + rel_vy * ca[:, i]) / max_speed, -1.0, 1.0)
-            per_opp.append(jnp.stack([lrx, lry, lvx, lvy], axis=-1))  # [N, 4]
-        opp_blocks.append(jnp.concatenate(per_opp, axis=-1)          # [N, 4*(A-1)]
-                          if per_opp else jnp.zeros((n, 0), dtype))
-    opp = jnp.stack(opp_blocks, axis=1)                               # [N, A, 4*(A-1)]
+    # opponent-relative features, in reference agent-index order (skip self) —
+    # one batched [N, A, A] all-pairs computation (identical elementwise math to
+    # the reference's per-(i,j) loop, multi_racing_env.py:84-103) with the
+    # diagonal dropped by a static gather. The unrolled-Python form emitted
+    # 4*A*(A-1) separate ops and bloated compile time at A >= 4.
+    max_td = track.max_track_distance[:, None, None].astype(dtype)    # [N, 1, 1]
+    rel_x = state.x[:, None, :] - state.x[:, :, None]                 # [N, i, j]
+    rel_y = state.y[:, None, :] - state.y[:, :, None]
+    rel_vx = state.vx[:, None, :] - state.vx[:, :, None]
+    rel_vy = state.vy[:, None, :] - state.vy[:, :, None]
+    ca_i, sa_i = ca[:, :, None], sa[:, :, None]
+    lrx = jnp.clip((rel_x * ca_i + rel_y * sa_i) / max_td, -1.0, 1.0)
+    lry = jnp.clip((-rel_x * sa_i + rel_y * ca_i) / max_td, -1.0, 1.0)
+    lvx = jnp.clip((rel_vx * ca_i + rel_vy * sa_i) / max_speed, -1.0, 1.0)
+    lvy = jnp.clip((-rel_vx * sa_i + rel_vy * ca_i) / max_speed, -1.0, 1.0)
+    pair = jnp.stack([lrx, lry, lvx, lvy], axis=-1)                   # [N, A, A, 4]
+    opp_idx = np.asarray([[j for j in range(a) if j != i] for i in range(a)],
+                         np.int32).reshape(a, max(a - 1, 0))           # [A, A-1]
+    opp = jnp.take_along_axis(
+        pair, jnp.asarray(opp_idx)[None, :, :, None], axis=2
+    ).reshape(n, a, 4 * (a - 1))                                      # [N, A, 4(A-1)]
 
     # a == 1 gives an empty opponent block, like the reference's empty
     # opp_features list under np.concatenate (multi_racing_env.py:60-105)
@@ -231,20 +232,32 @@ def transition(cfg: MultiRacingConfig, track: TrackArrays, state: MultiState, ac
     new_progress = jnp.where(state.crashed, state.progress, raw_progress)
     crashed = state.crashed | (~state.crashed & hit_wall)
 
-    # pairwise SAT collisions: sequential velocity scaling per colliding pair
-    # (multi_racing_env.py:221-231); corners are position-based so unaffected by the
-    # velocity response within the step
-    touch_penalty = jnp.zeros((n, a), dtype)
+    # pairwise SAT collisions (multi_racing_env.py:221-231): one batched [N, A, A]
+    # SAT test with the diagonal masked (the unrolled pair loop emitted A(A-1)/2
+    # separate SAT kernels + 2A(A-1) scatter ops). The reference scales a car's
+    # velocity once per colliding partner, sequentially; multiplying by the same
+    # scalar `hits(k)` times is order-independent, so the where-ladder below is
+    # bit-identical to the pair loop. Corners are position-based, unaffected by
+    # the velocity response within the step.
     scale = jnp.asarray(cfg.collision_speed_scale, dtype)
-    for i in range(a):
-        for j in range(i + 1, a):
-            hit = geo.rectangles_intersect(ccx[:, i], ccy[:, i], ccx[:, j], ccy[:, j])
-            for k in (i, j):
-                nvx = nvx.at[:, k].set(jnp.where(hit, nvx[:, k] * scale, nvx[:, k]))
-                nvy = nvy.at[:, k].set(jnp.where(hit, nvy[:, k] * scale, nvy[:, k]))
-                touch_penalty = touch_penalty.at[:, k].add(
-                    jnp.where(hit, jnp.asarray(-cfg.touch_penalty, dtype), 0.0)
-                )
+    if a > 1:
+        shape_aa = (n, a, a, 4)
+        hit_all = geo.rectangles_intersect(
+            jnp.broadcast_to(ccx[:, :, None, :], shape_aa),
+            jnp.broadcast_to(ccy[:, :, None, :], shape_aa),
+            jnp.broadcast_to(ccx[:, None, :, :], shape_aa),
+            jnp.broadcast_to(ccy[:, None, :, :], shape_aa),
+        )                                                             # [N, A, A]
+        hit_all = hit_all & ~jnp.eye(a, dtype=bool)[None]
+        num_hits = jnp.sum(hit_all, axis=-1)                          # [N, A] int
+        for m in range(a - 1):
+            more = num_hits > m
+            nvx = jnp.where(more, nvx * scale, nvx)
+            nvy = jnp.where(more, nvy * scale, nvy)
+        touch_penalty = -jnp.asarray(cfg.touch_penalty, dtype) \
+            * num_hits.astype(dtype)
+    else:
+        touch_penalty = jnp.zeros((n, a), dtype)
 
     steps = state.steps + 1
     p, lp = new_progress, state.last_progress

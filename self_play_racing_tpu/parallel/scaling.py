@@ -31,12 +31,18 @@ from . import mesh as pmesh
 
 
 def measure(num_devices: int, envs_per_device: int = 512, num_steps: int = 128,
-            reps: int = 3, seed: int = 1):
-    """Updates/s + env-steps/s for a data-parallel PPO update on n devices."""
+            reps: int = 3, seed: int = 1, shard_local: bool = True):
+    """Updates/s + env-steps/s for a data-parallel PPO update on n devices.
+
+    ``shard_local`` uses the per-shard minibatch shuffle (cfg.data_shards =
+    num_devices; zero data collectives in the update phase); False measures the
+    reference-parity global shuffle, whose per-minibatch all-gathers bound DP
+    scaling (scripts/inspect_minibatch_hlo.py)."""
     devices = jax.devices()[:num_devices]
     num_envs = envs_per_device * num_devices
     cfg = base_config(num_envs=num_envs, num_steps=num_steps,
-                      total_timesteps=num_envs * num_steps * 100, seed=seed)
+                      total_timesteps=num_envs * num_steps * 100, seed=seed,
+                      data_shards=num_devices if shard_local else 1)
     cps = trk.gen_tracks(16, seed=seed)
     pool = trk.make_track_pool(cps, [7.0] * 16)
     track = trk.gather_tracks(pool, np.arange(num_envs) % 16)
@@ -55,6 +61,7 @@ def measure(num_devices: int, envs_per_device: int = 512, num_steps: int = 128,
     return {
         "devices": num_devices,
         "num_envs": num_envs,
+        "shard_local_minibatch": shard_local,
         "ms_per_update": dt * 1e3,
         "env_steps_per_s": cfg.batch_size / dt,
         "updates_per_s": 1.0 / dt,
@@ -66,6 +73,9 @@ def main(argv=None):
     p.add_argument("--envs-per-device", type=int, default=512)
     p.add_argument("--num-steps", type=int, default=128)
     p.add_argument("--max-devices", type=int, default=None)
+    p.add_argument("--global-shuffle", action="store_true",
+                   help="measure the reference-parity global minibatch shuffle "
+                        "(per-minibatch all-gathers) instead of shard-local")
     args = p.parse_args(argv)
 
     total = len(jax.devices())
@@ -81,7 +91,8 @@ def main(argv=None):
         sizes = [n for n in (1, 2, 4, 8, 16, 32, 64) if n <= total]
     results = []
     for n in sizes:
-        r = measure(n, args.envs_per_device, args.num_steps)
+        r = measure(n, args.envs_per_device, args.num_steps,
+                    shard_local=not args.global_shuffle)
         base = results[0]["env_steps_per_s"] if results else r["env_steps_per_s"]
         r["efficiency"] = r["env_steps_per_s"] / (r["devices"] * base)
         results.append(r)

@@ -124,6 +124,15 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
         total_timesteps=total_timesteps, num_envs=num_envs, num_steps=num_steps,
         opponent_per_env=True, reset_envs_each_update=False,
     )
+    # Multi-chip: shard the env batch over all visible devices, and size the
+    # shard-local minibatch shuffle to the data axis so the update phase runs
+    # with zero data collectives (agent/ppo.py:run_ppo_update).
+    import jax as _jax
+
+    n_dev = len(_jax.devices())
+    use_mesh = n_dev > 1 and num_envs % n_dev == 0
+    if use_mesh:
+        overrides["data_shards"] = n_dev
     overrides.update(cfg_overrides)
     cfg = self_play_config(**overrides)
     _seed_all(cfg.seed)
@@ -164,6 +173,13 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
           f"Batch: {cfg.batch_size:,} | Updates: {cfg.num_updates} | "
           f"Snapshot freq: {cfg.snapshot_freq} | Pool: {cfg.pool_size}")
     trainer = SelfPlayTrainer(cfg, env_cfg, track)
+    if use_mesh:
+        from .parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh()
+        print(f"Sharding over {n_dev} devices: mesh {dict(mesh.shape)}, "
+              f"shard-local minibatching (data_shards={cfg.data_shards})")
+        trainer.shard(mesh)
     if resample_tracks_every:
         applied = {"boundary": 0}
 
