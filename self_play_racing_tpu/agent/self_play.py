@@ -131,6 +131,16 @@ class SelfPlayTrainer(PPOTrainer):
         self.training_info["opponent_pool_size"] = []
         self.training_info["pool_win_rate"] = []
 
+    def shard(self, mesh):
+        """Also place the snapshot pool (replicated): on a multi-process mesh,
+        eager pool updates (snapshot_agent's .at[slot].set against the sharded
+        learner params) need both operands to be global arrays."""
+        super().shard(mesh)
+        from ..parallel import mesh as pmesh
+
+        self.pool = jax.tree.map(
+            lambda x: pmesh._put(x, pmesh.replicated(mesh)), self.pool)
+
     # ---- pool management -------------------------------------------------------
 
     @property

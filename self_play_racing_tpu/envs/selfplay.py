@@ -59,22 +59,44 @@ def opponent_actions(cfg: multi.MultiRacingConfig, opp, opp_obs, key):
     """
     n = opp_obs.shape[0]
     k_noise, k_rand = jax.random.split(key)
+    idx_arr = jnp.asarray(opp["idx"])
 
-    if opp.get("norm_mean") is not None:
-        # per-member normalization with the stats frozen at snapshot time
-        from . import normalize as obsnorm
+    if idx_arr.ndim == 0:
+        # Per-update shared opponent (reference parity mode, quirk #7): gather
+        # that ONE member's params/stats (a tiny pytree dynamic-index) and run a
+        # single batched apply — the all-P path below costs P x the MLP + P x
+        # the normalize pass for the same result when every env faces the same
+        # opponent (measured ~9% of the 4096-env self-play rollout at P=5).
+        one = lambda p: jax.lax.dynamic_index_in_dim(p, idx_arr, 0,
+                                                     keepdims=False)
+        member_obs = opp_obs
+        if opp.get("norm_mean") is not None:
+            from . import normalize as obsnorm
 
-        member_obs = jax.vmap(
-            lambda m, v: obsnorm.apply(obsnorm.ObsNormState(m, v, None), opp_obs)
-        )(opp["norm_mean"], opp["norm_var"])                                  # [P,N,D]
-        mus = jax.vmap(net.actor_mu)(opp["params"], member_obs)               # [P,N,2]
+            member_obs = obsnorm.apply(
+                obsnorm.ObsNormState(one(opp["norm_mean"]),
+                                     one(opp["norm_var"]), None), opp_obs)
+        mu = net.actor_mu(jax.tree.map(one, opp["params"]), member_obs)  # [N,2]
+        std = jnp.exp(one(opp["log_std"]))                               # [2]
+        noise = jax.random.normal(k_noise, mu.shape, mu.dtype)
+        policy_act = jnp.clip(mu + std * noise, -1.0, 1.0)               # [N,2]
     else:
-        mus = jax.vmap(net.actor_mu, in_axes=(0, None))(opp["params"], opp_obs)  # [P,N,2]
-    stds = jnp.exp(opp["log_std"])[:, None, :]                               # [P,1,2]
-    noise = jax.random.normal(k_noise, mus.shape[1:], mus.dtype)
-    acts = jnp.clip(mus + stds * noise, -1.0, 1.0)                           # [P,N,2]
-    idx = jnp.broadcast_to(jnp.asarray(opp["idx"]), (n,))
-    policy_act = jnp.take_along_axis(acts, idx[None, :, None], axis=0)[0]    # [N,2]
+        if opp.get("norm_mean") is not None:
+            # per-member normalization with the stats frozen at snapshot time
+            from . import normalize as obsnorm
+
+            member_obs = jax.vmap(
+                lambda m, v: obsnorm.apply(obsnorm.ObsNormState(m, v, None), opp_obs)
+            )(opp["norm_mean"], opp["norm_var"])                              # [P,N,D]
+            mus = jax.vmap(net.actor_mu)(opp["params"], member_obs)           # [P,N,2]
+        else:
+            mus = jax.vmap(net.actor_mu, in_axes=(0, None))(opp["params"],
+                                                            opp_obs)          # [P,N,2]
+        stds = jnp.exp(opp["log_std"])[:, None, :]                           # [P,1,2]
+        noise = jax.random.normal(k_noise, mus.shape[1:], mus.dtype)
+        acts = jnp.clip(mus + stds * noise, -1.0, 1.0)                       # [P,N,2]
+        idx = jnp.broadcast_to(idx_arr, (n,))
+        policy_act = jnp.take_along_axis(acts, idx[None, :, None], axis=0)[0]  # [N,2]
 
     low = jnp.asarray([-1.0, 0.0], policy_act.dtype)
     high = jnp.asarray([1.0, 1.0], policy_act.dtype)

@@ -185,15 +185,12 @@ def evaluate_adapter_agent_overall(predict, num_tracks=40, num_runs=5, seed=42,
 def evaluate_sb3_agent_overall(model_path, num_tracks=40, num_runs=5, seed=42,
                                max_steps=2000):
     """evaluate.py:124-171 equivalent: SB3 PPO driven deterministically through
-    the gym adapter. Requires stable_baselines3 (optional dependency)."""
+    the gym adapter. Uses stable_baselines3 when installed, else the vendored
+    sb3_compat implementation (interop/sb3_compat.py) for its checkpoints."""
     try:
         from stable_baselines3 import PPO as SB3_PPO
-    except ImportError as e:
-        raise SystemExit(
-            "stable_baselines3 is not installed; the SB3 evaluator is optional "
-            "and gated (see evaluate_adapter_agent_overall for the generic "
-            "predict-callable path)."
-        ) from e
+    except ImportError:
+        from .interop.sb3_compat import PPO as SB3_PPO
     model = SB3_PPO.load(model_path)
     return evaluate_adapter_agent_overall(
         lambda obs: model.predict(obs, deterministic=True)[0],

@@ -209,17 +209,20 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
 
 def train_single_baseline(total_timesteps=None,
                           out="models/sb3_baseline_agent_general",
+                          sb3_kwargs=None,
+                          info_out="data/training_info_sb3.json",
                           **cfg_overrides):
-    """SB3 PPO on the gym adapter (train.py:117-188). Requires stable_baselines3."""
+    """SB3 PPO on the gym adapter (train.py:117-188). Uses stable_baselines3 when
+    installed; otherwise the vendored torch reimplementation of SB3's default PPO
+    (interop/sb3_compat.py) so the baseline cross-check leg still runs."""
+    import gymnasium as gym
     try:
         from stable_baselines3 import PPO as SB3_PPO
         from stable_baselines3.common.vec_env import DummyVecEnv
-        import gymnasium as gym
-    except ImportError as e:
-        raise SystemExit(
-            "stable_baselines3 is not installed in this environment; the SB3 "
-            "baseline entry point is optional and gated."
-        ) from e
+    except ImportError:
+        from .interop.sb3_compat import PPO as SB3_PPO, DummyVecEnv
+        print("stable_baselines3 not installed - using the vendored "
+              "sb3_compat PPO (identical defaults, torch)")
 
     overrides = dict(cfg_overrides)
     if total_timesteps:
@@ -238,9 +241,12 @@ def train_single_baseline(total_timesteps=None,
             return gym.wrappers.RecordEpisodeStatistics(env)
         return thunk
 
+    from .utils.sb3_logger import TrainingLoggerCallback
+
     env = DummyVecEnv([make_env(i) for i in range(cfg.num_envs)])
-    model = SB3_PPO("MlpPolicy", env, seed=cfg.seed)
-    model.learn(total_timesteps=cfg.total_timesteps, progress_bar=False)
+    model = SB3_PPO("MlpPolicy", env, seed=cfg.seed, **(sb3_kwargs or {}))
+    model.learn(total_timesteps=cfg.total_timesteps, progress_bar=False,
+                callback=TrainingLoggerCallback(save_path=info_out))
     model.save(out)
     env.close()
     return model

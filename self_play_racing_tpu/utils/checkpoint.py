@@ -20,17 +20,43 @@ import jax.numpy as jnp
 
 
 def _to_host(flat):
-    """Fetch a list of device arrays with ONE device->host transfer.
+    """Fetch a list of device arrays to host numpy.
 
-    Per-leaf np.asarray costs one tunnel round trip each (~0.45s on the axon TPU
-    link); instead every leaf is bitcast to uint8 and concatenated on device, fetched
-    as a single buffer, and split back on the host."""
-    metas = []
-    chunks = []
+    Single-process (fully addressable): every leaf is bitcast to uint8 and
+    concatenated on device, fetched as ONE buffer, and split back on the host —
+    per-leaf np.asarray costs one tunnel round trip each (~0.45s on the axon TPU
+    link).
+
+    Multi-process (some leaf sharded across processes): np.asarray on a
+    non-fully-addressable array raises, so each such leaf is gathered to every
+    host via ``multihost_utils.process_allgather`` (a collective — ALL processes
+    must call ``_to_host`` together); fully-replicated leaves read their local
+    shard directly. Every process returns the full global value, so any of them
+    can serve the save (save_pytree writes from process 0 only)."""
+    arrs = []
     for x in flat:
         arr = jnp.asarray(x)
         if jnp.issubdtype(arr.dtype, jax.dtypes.prng_key):
             arr = jax.random.key_data(arr)
+        arrs.append(arr)
+
+    if not all(getattr(a, "is_fully_addressable", True) for a in arrs):
+        from jax.experimental import multihost_utils
+
+        out = []
+        for a in arrs:
+            if getattr(a, "is_fully_addressable", True):
+                out.append(np.asarray(a))
+            elif getattr(a, "is_fully_replicated", False):
+                out.append(np.asarray(a.addressable_data(0)))
+            else:
+                out.append(np.asarray(
+                    multihost_utils.process_allgather(a, tiled=True)))
+        return out
+
+    metas = []
+    chunks = []
+    for arr in arrs:
         metas.append((arr.shape, arr.dtype))
         flat_x = arr.reshape(-1)
         if flat_x.dtype.itemsize > 1:
@@ -56,14 +82,25 @@ def _meta_path(path: str) -> str:
 
 
 def save_pytree(path: str, tree, meta: dict | None = None):
-    """Save an arbitrary pytree of arrays + a JSON-serializable ``meta`` dict."""
+    """Save an arbitrary pytree of arrays + a JSON-serializable ``meta`` dict.
+
+    Multi-process safe: every process participates in the gather collectives
+    (call this from ALL processes), process 0 alone writes the files, and a
+    device barrier afterwards guarantees the checkpoint is on disk before any
+    process proceeds (so an immediate resume on another process sees it)."""
     flat = jax.tree.leaves(tree)
     host = _to_host(flat)
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path, n_leaves=len(host), **{f"leaf_{i}": x for i, x in enumerate(host)})
-    if meta is not None:
-        with open(_meta_path(path), "w") as f:
-            json.dump(meta, f)
+    if jax.process_index() == 0:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        np.savez(path, n_leaves=len(host),
+                 **{f"leaf_{i}": x for i, x in enumerate(host)})
+        if meta is not None:
+            with open(_meta_path(path), "w") as f:
+                json.dump(meta, f)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"save_pytree:{path}")
 
 
 def load_pytree(path: str, template):

@@ -1,9 +1,10 @@
 """SB3 training-logger callback (reference utils/sb3_logger.py:4-26 equivalent).
 
-Optional: only importable when stable_baselines3 is installed (it is not part of the
-core environment). Appends the mean episode reward of each rollout and dumps the same
+Appends the mean episode reward of each rollout and dumps the same
 ``{"steps": [...], "rewards": [...]}`` JSON the native trainers write, so
 ``utils.viz.eval_training`` can overlay SB3 baselines with our learning curves.
+Uses stable_baselines3's BaseCallback when installed, else the vendored
+sb3_compat one (interop/sb3_compat.py) — the callback protocol is identical.
 """
 from __future__ import annotations
 
@@ -11,10 +12,8 @@ import json
 
 try:
     from stable_baselines3.common.callbacks import BaseCallback
-except ImportError as e:  # pragma: no cover - SB3 absent in the core env
-    raise ImportError(
-        "utils.sb3_logger requires stable_baselines3 (optional dependency)"
-    ) from e
+except ImportError:  # SB3 absent: the vendored compat callback base
+    from ..interop.sb3_compat import BaseCallback
 
 
 class TrainingLoggerCallback(BaseCallback):
