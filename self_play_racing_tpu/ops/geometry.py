@@ -59,6 +59,36 @@ def raycast_walls(ox, oy, dx, dy, seg_sx, seg_sy, seg_vx, seg_vy, max_dist,
     return jnp.where(jnp.isinf(tmin), jnp.asarray(max_dist, tmin.dtype), tmin)
 
 
+def raycast_walls_fan(ox, oy, dx, dy, seg_sx, seg_sy, seg_vx, seg_vy, max_dist,
+                      seg_c=None):
+    """``raycast_walls`` for a FAN of rays sharing one origin per batch element
+    (the sensor geometry: every car casts all its rays from its own position).
+
+    ox, oy: origins, shape ``B``. dx, dy: directions, shape ``B + (R,)``.
+    seg_*: shape ``B + (S,)`` (broadcastable). Returns ``B + (R,)``.
+
+    Bit-identical to raycast_walls on broadcast origins — same per-element
+    arithmetic — but the segment cross term ``cn`` (ray-independent) is computed
+    once per (batch, segment) instead of R times, cutting ~17% of the
+    [rays, segments] VPU work of the hottest kernel in the engine.
+    """
+    if seg_c is None:
+        seg_c = seg_vy * seg_sx - seg_vx * seg_sy
+    cn = oy[..., None] * seg_vx - ox[..., None] * seg_vy + seg_c       # B + (S,)
+    u = ox[..., None] * dy - oy[..., None] * dx                        # B + (R,)
+    dotp = seg_vy[..., None, :] * dx[..., None] \
+        - seg_vx[..., None, :] * dy[..., None]                         # B + (R, S)
+    sn = seg_sx[..., None, :] * dy[..., None] \
+        - seg_sy[..., None, :] * dx[..., None] - u[..., None]
+    valid = jnp.abs(dotp) > _PARALLEL_EPS
+    inv = 1.0 / dotp
+    t = cn[..., None, :] * inv
+    s = sn * inv
+    hit = valid & (t >= 0.0) & (s >= 0.0) & (s <= 1.0)
+    tmin = jnp.min(jnp.where(hit, t, jnp.inf), axis=-1)
+    return jnp.where(jnp.isinf(tmin), jnp.asarray(max_dist, tmin.dtype), tmin)
+
+
 def nearest_waypoint(px, py, wp_x, wp_y):
     """Index of the nearest waypoint (first occurrence on ties, as np.argmin).
 
