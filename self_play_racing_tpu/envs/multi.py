@@ -145,14 +145,15 @@ def observe(cfg: MultiRacingConfig, track: TrackArrays, state: MultiState) -> jn
     rel = jnp.asarray(cfg.sensor_angles(), dtype)                    # [R]
     world = state.angle[:, :, None] + rel[None, None, :]             # [N, A, R]
 
-    # walls: [N, A] fan origins x [R] rays vs [N, 1, S] segments
-    wall = geo.raycast_walls_fan(
-        state.x, state.y,
+    # walls: [N, A, R] rays vs [N, 1, 1, S] segments
+    wall = geo.raycast_walls(
+        jnp.broadcast_to(state.x[:, :, None], world.shape),
+        jnp.broadcast_to(state.y[:, :, None], world.shape),
         jnp.cos(world), jnp.sin(world),
-        track.seg_sx[:, None, :], track.seg_sy[:, None, :],
-        track.seg_vx[:, None, :], track.seg_vy[:, None, :],
+        track.seg_sx[:, None, None, :], track.seg_sy[:, None, None, :],
+        track.seg_vx[:, None, None, :], track.seg_vy[:, None, None, :],
         cfg.max_sensor_range,
-        seg_c=track.seg_c[:, None, :],
+        seg_c=track.seg_c[:, None, None, :],
     )
     # cars: every ray sees every car's rectangle; cars whose center is within 0.5 of
     # the ray origin are skipped (self-exclusion approximation, multi_track.py:12-14)

@@ -120,12 +120,14 @@ def observe(cfg: RacingConfig, track: TrackArrays, state: RacingState) -> jnp.nd
     dtype = car.x.dtype
     rel = jnp.asarray(cfg.sensor_angles(), dtype)                    # [R]
     world = car.angle[:, None] + rel[None, :]                        # [N, R]
-    dist = geo.raycast_walls_fan(
-        car.x, car.y,
+    dist = geo.raycast_walls(
+        jnp.broadcast_to(car.x[:, None], world.shape),
+        jnp.broadcast_to(car.y[:, None], world.shape),
         jnp.cos(world), jnp.sin(world),
-        track.seg_sx, track.seg_sy, track.seg_vx, track.seg_vy,
+        track.seg_sx[:, None, :], track.seg_sy[:, None, :],
+        track.seg_vx[:, None, :], track.seg_vy[:, None, :],
         cfg.max_sensor_range,
-        seg_c=track.seg_c,
+        seg_c=track.seg_c[:, None, :],
     )                                                                # [N, R]
     rays = dist.astype(jnp.float32) / jnp.float32(cfg.max_sensor_range)
 

@@ -68,9 +68,12 @@ def raycast_walls_fan(ox, oy, dx, dy, seg_sx, seg_sy, seg_vx, seg_vy, max_dist,
     seg_*: shape ``B + (S,)`` (broadcastable). Returns ``B + (R,)``.
 
     Bit-identical to raycast_walls on broadcast origins — same per-element
-    arithmetic — but the segment cross term ``cn`` (ray-independent) is computed
-    once per (batch, segment) instead of R times, cutting ~17% of the
-    [rays, segments] VPU work of the hottest kernel in the engine.
+    arithmetic — with the segment cross term ``cn`` (ray-independent) computed
+    once per (batch, segment) instead of R times. NOTE: measured *slower* than
+    the broadcast form on TPU (1858 vs 1795 us per [4096, 2, 11, 900] call in a
+    scan) — splitting the single raycast fusion costs more than the recompute it
+    saves (docs/DESIGN.md "Kernels that were measured and rejected"). Kept for
+    API symmetry; the env hot paths use ``raycast_walls``.
     """
     if seg_c is None:
         seg_c = seg_vy * seg_sx - seg_vx * seg_sy
