@@ -72,9 +72,14 @@ def run_envs():
 
     results = []
     for num_envs in (1024, 4096, 16384, 65536):
+        # 65536 envs x 256 steps (16.7M samples) exceeds v5e HBM once the
+        # update's minibatch buffers join the rollout + per-env geometry;
+        # cap the batch at 4.2M samples (the 16384-env point) and record the
+        # shorter rollout alongside the row.
+        num_steps = min(256, (1 << 22) // num_envs)
         track = trk.gather_tracks(pool, np.arange(num_envs) % 16)
-        cfg = base_config(num_envs=num_envs, num_steps=256,
-                          total_timesteps=num_envs * 256 * 100)
+        cfg = base_config(num_envs=num_envs, num_steps=num_steps,
+                          total_timesteps=num_envs * num_steps * 100)
         tr = PPOTrainer(cfg, senv.RacingConfig(num_sensors=11), track)
         tr.runner, m = tr.update_step(tr.runner, tr.aux)
         unpack_metrics(m)
@@ -86,15 +91,18 @@ def run_envs():
             unpack_metrics(m)
             dts.append((time.perf_counter() - t0) / 3)
         d = min(dts)
-        row = {"num_envs": num_envs, "ms_per_update": d * 1e3,
+        row = {"num_envs": num_envs, "num_steps": num_steps,
+               "ms_per_update": d * 1e3,
                "env_steps_per_s": cfg.batch_size / d}
         results.append(row)
         print(json.dumps(row), file=sys.stderr)
 
     _merge("env_count_real_chip", {
         "platform": device,
-        "note": "single-agent PPO full update (rollout 256 steps + GAE + "
-                "10x16 minibatches), best of 3 chained-dispatch windows",
+        "note": "single-agent PPO full update (rollout + GAE + 10x16 "
+                "minibatches), best of 3 chained-dispatch windows; batch "
+                "capped at 4.2M samples (65536 envs x 256 steps OOMs v5e "
+                "HBM, so that point runs a 64-step rollout)",
         "results": results,
     })
 

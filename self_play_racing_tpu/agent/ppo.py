@@ -110,11 +110,18 @@ def init_runner(key, cfg: PPOConfig, hooks: EnvHooks, aux, obs_dim: int,
     # with the weight-init and reset streams.
     k_net, k_env, k_vec, k_carry = jax.random.split(key, 4)
     train = init_train_state(k_net, cfg, obs_dim, action_dim)
-    env_state = hooks.reset(aux, k_env)
-    if hooks.refresh is not None:
-        env_state, obs = hooks.refresh(aux, env_state)
-    else:
-        obs = hooks.observe(aux, env_state)
+
+    # The initial reset+observe must run under jit: executed eagerly op-by-op,
+    # the observation pipeline materializes its full [envs, rays, segments]
+    # intermediates in HBM — RESOURCE_EXHAUSTED at very large env counts —
+    # where the fused program needs only the [envs, rays] result.
+    def _reset_observe(aux, k):
+        env_state = hooks.reset(aux, k)
+        if hooks.refresh is not None:
+            return hooks.refresh(aux, env_state)
+        return env_state, hooks.observe(aux, env_state)
+
+    env_state, obs = jax.jit(_reset_observe)(aux, k_env)
     vec_state = vector.init(env_state, cfg.num_envs, k_vec)
     return RunnerState(
         train=train,

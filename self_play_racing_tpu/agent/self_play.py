@@ -47,17 +47,17 @@ def make_selfplay_hooks(env_cfg: menv.MultiRacingConfig,
     """
 
     def reset(aux, key):
-        return sp.reset_state_deferred(env_cfg, aux["track"], key)
+        return sp.reset_state_deferred(env_cfg, trk.resolve(aux["track"]), key)
 
     def transition(aux, state, action, key):
-        return sp.transition_deferred(env_cfg, aux["track"], aux["opp"], state,
-                                      action, key)
+        return sp.transition_deferred(env_cfg, trk.resolve(aux["track"]),
+                                      aux["opp"], state, action, key)
 
     def observe(aux, state):
         return sp.observe(state)
 
     def refresh(aux, state):
-        return sp.refresh(env_cfg, aux["track"], state)
+        return sp.refresh(env_cfg, trk.resolve(aux["track"]), state)
 
     def stats(aux, info, rec):
         opp = aux["opp"]

@@ -26,7 +26,8 @@ def make_single_env_hooks(env_cfg: senv.RacingConfig) -> ppo.EnvHooks:
     a dict {"track": TrackArrays, "speed_weight": scalar} (annealed variant)."""
 
     def track_of(aux):
-        return aux["track"] if isinstance(aux, dict) else aux
+        track = aux["track"] if isinstance(aux, dict) else aux
+        return trk.resolve(track)  # PooledTracks gathers lazily inside the jit
 
     def sw_of(aux):
         return aux.get("speed_weight") if isinstance(aux, dict) else None

@@ -237,3 +237,39 @@ def gather_tracks(pool: TrackArrays, track_ids) -> TrackArrays:
     outside the rollout scan, so the hot loop reads contiguous per-env geometry)."""
     ids = jnp.asarray(track_ids, dtype=jnp.int32)
     return jax.tree.map(lambda a: jnp.take(a, ids, axis=0), pool)
+
+
+@struct.dataclass
+class PooledTracks:
+    """Memory-scaling geometry layout: the ``[tracks, ...]`` pool stays resident
+    in HBM with one int32 track id per env, and the per-env ``TrackArrays`` view
+    is materialized lazily inside the jitted step (a per-step gather XLA fuses
+    with the consumers). ~4% slower per rollout step than pre-gathered per-env
+    geometry at 4096 envs (docs/DESIGN.md, "broadcast-tiled geometry"), but
+    geometry residency drops from O(envs x segments) to O(tracks x segments)
+    plus a transient — the layout for env counts where per-env copies don't fit.
+
+    Drop-in for TrackArrays anywhere a trainer/env hook accepts geometry
+    (hooks resolve it via ``resolve``); under ``shard_by_env_axis`` the pool
+    leaves replicate (dim0 == num_tracks) and ``ids`` shards over 'data'.
+    """
+
+    pool: TrackArrays
+    ids: jnp.ndarray  # int32 [envs]
+
+    def gather(self) -> TrackArrays:
+        return gather_tracks(self.pool, self.ids)
+
+    @property
+    def num_tracks(self):
+        return self.ids.shape[0]  # per-env view size, matching gather_tracks
+
+
+def pooled_tracks(pool: TrackArrays, track_ids) -> PooledTracks:
+    """Build the lazy pool-resident layout (cf. gather_tracks for the eager one)."""
+    return PooledTracks(pool=pool, ids=jnp.asarray(track_ids, dtype=jnp.int32))
+
+
+def resolve(track) -> TrackArrays:
+    """Per-env TrackArrays from either geometry layout."""
+    return track.gather() if isinstance(track, PooledTracks) else track

@@ -403,6 +403,8 @@ class PPO:
         try:
             data = torch.load(path, map_location="cpu", weights_only=False)
         except (FileNotFoundError, IsADirectoryError):
+            if path.endswith(".zip"):  # SB3 only ever suffixes, never doubles
+                raise
             data = torch.load(path + ".zip", map_location="cpu", weights_only=False)
         if not isinstance(data, dict) or not data.get("sb3_compat"):
             raise ValueError(

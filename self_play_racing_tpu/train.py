@@ -106,7 +106,7 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
                 info_out="data/training_info_self_play_scale_1B.json",
                 num_updates=None, checkpoint_dir="models/scale",
                 checkpoint_every=200, resume_from=None, num_agents=2,
-                resample_tracks_every=0, track_points=12,
+                resample_tracks_every=0, track_points=12, pooled_geometry=False,
                 **cfg_overrides):
     """Scale-mode self-play: resident env state, per-env opponents, big batch.
 
@@ -118,7 +118,10 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
     on domain randomization: every K updates a fresh ``num_tracks``-track pool
     is generated *on device* (envs/procgen.py — no host round-trips) and all
     envs restart on it; pools are keyed by update index, so resumes see the
-    same pool sequence.
+    same pool sequence. ``pooled_geometry`` keeps the [tracks, ...] pool
+    resident instead of per-env copies (envs/track.py:PooledTracks) — a few %
+    slower per step, but geometry HBM drops from O(envs) to O(tracks): the
+    layout for very large env counts.
     """
     overrides = dict(
         total_timesteps=total_timesteps, num_envs=num_envs, num_steps=num_steps,
@@ -152,8 +155,10 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
             k = jax.random.key(cfg.seed)
             if boundary:
                 k = jax.random.fold_in(k, boundary)
-            return trk.gather_tracks(
-                pg.gen_track_pool_device(k, num_tracks, track_points), env_ids)
+            pool = pg.gen_track_pool_device(k, num_tracks, track_points)
+            if pooled_geometry:
+                return trk.pooled_tracks(pool, env_ids)
+            return trk.gather_tracks(pool, env_ids)
 
         print(f"Generating {num_tracks}-track pool on device "
               f"(resampled every {resample_tracks_every} updates)")
@@ -163,7 +168,8 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
         cps = trk.gen_tracks(num_tracks=num_tracks, seed=cfg.seed)
         widths = [float(np.random.randint(6, 10)) for _ in range(num_tracks)]
         pool = trk.make_track_pool(cps, widths)
-        track = trk.gather_tracks(pool, env_ids)
+        track = (trk.pooled_tracks(pool, env_ids) if pooled_geometry
+                 else trk.gather_tracks(pool, env_ids))
     env_cfg = menv.MultiRacingConfig(num_agents=num_agents, num_sensors=11)
 
     print("=" * 60)
@@ -268,6 +274,11 @@ def main(argv=None):
     p.add_argument("--resample-tracks-every", type=int, default=None, metavar="K",
                    help="scale mode: resample the whole track pool on device "
                         "every K updates (domain randomization; 0 = off)")
+    p.add_argument("--pooled-geometry", action="store_true",
+                   help="scale mode: keep track geometry as the [tracks, ...] "
+                        "pool + per-env ids instead of per-env copies (slower "
+                        "by a few %%, O(tracks) geometry HBM — for very large "
+                        "--num-envs)")
     p.add_argument("--pfsp", action="store_true",
                    help="scale/multi modes: prioritized fictitious self-play — "
                         "sample pool opponents by (1-winrate)^2 instead of "
@@ -294,6 +305,8 @@ def main(argv=None):
             skw["num_agents"] = args.agents
         if args.resample_tracks_every is not None:
             skw["resample_tracks_every"] = args.resample_tracks_every
+        if args.pooled_geometry:
+            skw["pooled_geometry"] = True
         train_scale(num_updates=args.num_updates, resume_from=args.resume, **skw)
     if args.mode in ("sb3", "all"):
         train_single_baseline(args.total_timesteps, **kw)

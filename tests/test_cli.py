@@ -77,13 +77,26 @@ def test_adapter_evaluator_matches_grid_contract():
         assert ep["crashed"] or ep["finished"] or ep["steps"] == 200
 
 
-def test_sb3_evaluator_gate():
+def test_sb3_evaluator_gate(tmp_path):
+    """Without stable_baselines3 installed, the SB3 leg runs through the
+    vendored compat PPO (interop/sb3_compat.py) rather than exiting: missing
+    checkpoints surface as FileNotFoundError (no double .zip suffixing), and
+    foreign torch files are rejected with a message naming the real dep."""
     import importlib.util
 
-    import pytest
+    import torch
 
     from self_play_racing_tpu.evaluate import evaluate_sb3_agent_overall
 
-    if importlib.util.find_spec("stable_baselines3") is None:
-        with pytest.raises(SystemExit, match="stable_baselines3"):
-            evaluate_sb3_agent_overall("nonexistent.zip", 1, 1)
+    if importlib.util.find_spec("stable_baselines3") is not None:
+        pytest.skip("real stable_baselines3 installed; compat gate not in play")
+
+    with pytest.raises(FileNotFoundError, match=r"nonexistent\.zip'"):
+        evaluate_sb3_agent_overall("nonexistent.zip", 1, 1)
+    with pytest.raises(FileNotFoundError, match=r"nonexistent\.zip'"):
+        evaluate_sb3_agent_overall("nonexistent", 1, 1)  # suffix retry path
+
+    foreign = tmp_path / "foreign.zip"
+    torch.save({"not_sb3_compat": True}, str(foreign))
+    with pytest.raises(ValueError, match="stable_baselines3"):
+        evaluate_sb3_agent_overall(str(foreign), 1, 1)

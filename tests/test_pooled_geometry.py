@@ -1,0 +1,88 @@
+"""PooledTracks (lazy pool-resident geometry) == eager per-env geometry.
+
+The memory-scaling layout (envs/track.py:PooledTracks) must be a bit-exact
+drop-in: the in-jit gather produces the same per-env TrackArrays the eager
+gather_tracks produces, so whole training runs must match leaf-for-leaf.
+"""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from self_play_racing_tpu.agent.self_play import SelfPlayTrainer
+from self_play_racing_tpu.agent.trainer import PPOTrainer
+from self_play_racing_tpu.configs import base_config, self_play_config
+from self_play_racing_tpu.envs import multi as menv
+from self_play_racing_tpu.envs import single as senv
+from self_play_racing_tpu.envs import track as trk
+
+
+def _pool_and_ids(num_envs=8, num_tracks=4):
+    cps = trk.gen_tracks(num_tracks, seed=3)
+    pool = trk.make_track_pool(cps, [7.0] * num_tracks, dtype=jnp.float32)
+    ids = np.arange(num_envs) % num_tracks
+    return pool, ids
+
+
+def _assert_trees_equal(a, b):
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        if hasattr(la, "dtype") and jnp.issubdtype(la.dtype, jnp.floating):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_resolve_matches_gather():
+    pool, ids = _pool_and_ids()
+    eager = trk.gather_tracks(pool, ids)
+    lazy = trk.resolve(trk.pooled_tracks(pool, ids))
+    _assert_trees_equal(eager, lazy)
+    # resolve() on an already-per-env TrackArrays is the identity
+    assert trk.resolve(eager) is eager
+
+
+def test_ppo_training_identical_under_pooled_geometry():
+    pool, ids = _pool_and_ids()
+    cfg = base_config(num_envs=8, num_steps=32, num_minibatches=2,
+                      update_epochs=2, total_timesteps=8 * 32 * 3)
+    env_cfg = senv.RacingConfig(num_sensors=11)
+
+    eager = PPOTrainer(cfg, env_cfg, trk.gather_tracks(pool, ids))
+    lazy = PPOTrainer(cfg, env_cfg, trk.pooled_tracks(pool, ids))
+    eager.train(num_updates=2)
+    lazy.train(num_updates=2)
+    _assert_trees_equal(eager.runner.train.params, lazy.runner.train.params)
+    _assert_trees_equal(eager.runner.vec, lazy.runner.vec)
+
+
+def test_selfplay_training_identical_under_pooled_geometry():
+    pool, ids = _pool_and_ids()
+    cfg = self_play_config(num_envs=8, num_steps=32, num_minibatches=2,
+                           update_epochs=2, total_timesteps=8 * 32 * 3,
+                           snapshot_freq=1, pool_size=2,
+                           opponent_per_env=True, reset_envs_each_update=False)
+    env_cfg = menv.MultiRacingConfig(num_agents=2, num_sensors=11)
+
+    trainers = []
+    for track in (trk.gather_tracks(pool, ids), trk.pooled_tracks(pool, ids)):
+        sp = SelfPlayTrainer(cfg, env_cfg, track)
+        sp.train(num_updates=2)
+        trainers.append(sp)
+    _assert_trees_equal(trainers[0].runner.train.params,
+                        trainers[1].runner.train.params)
+    _assert_trees_equal(trainers[0].runner.vec, trainers[1].runner.vec)
+
+
+def test_pooled_geometry_shards_pool_replicated():
+    """Under the data mesh the pool leaves replicate, ids shard over 'data' —
+    geometry residency per device is O(tracks), not O(envs/devices)."""
+    from self_play_racing_tpu.parallel import mesh as pmesh
+
+    pool, ids = _pool_and_ids(num_envs=16)
+    pooled = trk.pooled_tracks(pool, ids)
+    mesh = pmesh.make_mesh()
+    placed = pmesh.shard_by_env_axis(pooled, mesh, 16)
+
+    id_spec = placed.ids.sharding.spec
+    assert tuple(id_spec) and tuple(id_spec)[0] == "data"
+    for leaf in jax.tree.leaves(placed.pool):
+        spec = tuple(leaf.sharding.spec)
+        assert not spec or spec[0] is None, f"pool leaf sharded: {spec}"
