@@ -72,11 +72,11 @@ def run_envs():
 
     results = []
     for num_envs in (1024, 4096, 16384, 65536):
-        # 65536 envs x 256 steps (16.7M samples) exceeds v5e HBM once the
-        # update's minibatch buffers join the rollout + per-env geometry;
-        # cap the batch at 4.2M samples (the 16384-env point) and record the
-        # shorter rollout alongside the row.
-        num_steps = min(256, (1 << 22) // num_envs)
+        # 65536 x 256 (a 16.7M-sample batch) fits in v5e HBM now that
+        # init_runner's first reset+observe runs under jit — the earlier OOM
+        # here was the *eager* init materializing [envs, rays, segments]
+        # intermediates, not the update itself (see data/pooled_geometry.json).
+        num_steps = 256
         track = trk.gather_tracks(pool, np.arange(num_envs) % 16)
         cfg = base_config(num_envs=num_envs, num_steps=num_steps,
                           total_timesteps=num_envs * num_steps * 100)
@@ -99,10 +99,8 @@ def run_envs():
 
     _merge("env_count_real_chip", {
         "platform": device,
-        "note": "single-agent PPO full update (rollout + GAE + 10x16 "
-                "minibatches), best of 3 chained-dispatch windows; batch "
-                "capped at 4.2M samples (65536 envs x 256 steps OOMs v5e "
-                "HBM, so that point runs a 64-step rollout)",
+        "note": "single-agent PPO full update (rollout 256 steps + GAE + "
+                "10x16 minibatches), best of 3 chained-dispatch windows",
         "results": results,
     })
 

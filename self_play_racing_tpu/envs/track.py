@@ -241,13 +241,16 @@ def gather_tracks(pool: TrackArrays, track_ids) -> TrackArrays:
 
 @struct.dataclass
 class PooledTracks:
-    """Memory-scaling geometry layout: the ``[tracks, ...]`` pool stays resident
-    in HBM with one int32 track id per env, and the per-env ``TrackArrays`` view
-    is materialized lazily inside the jitted step (a per-step gather XLA fuses
-    with the consumers). ~4% slower per rollout step than pre-gathered per-env
-    geometry at 4096 envs (docs/DESIGN.md, "broadcast-tiled geometry"), but
-    geometry residency drops from O(envs x segments) to O(tracks x segments)
-    plus a transient — the layout for env counts where per-env copies don't fit.
+    """Capacity-scaling geometry layout: the ``[tracks, ...]`` pool stays
+    resident in HBM with one int32 track id per env, and the per-env
+    ``TrackArrays`` view is materialized lazily inside the jitted step.
+    Geometry residency drops from O(envs x segments) to O(tracks x segments)
+    plus a transient — but the in-scan gather is NOT free: measured ~1.6x
+    slower per full PPO update than eager per-env geometry (77 -> 123 ms at
+    4096 envs x 256 steps on a v5e; data/pooled_geometry.json). Use only at
+    env counts where per-env copies genuinely don't fit — note that 65536
+    envs x 256 steps fits *eagerly* on one v5e now that trainer init runs
+    under jit, so this layout is for well beyond that.
 
     Drop-in for TrackArrays anywhere a trainer/env hook accepts geometry
     (hooks resolve it via ``resolve``); under ``shard_by_env_axis`` the pool

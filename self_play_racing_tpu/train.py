@@ -119,9 +119,10 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
     is generated *on device* (envs/procgen.py — no host round-trips) and all
     envs restart on it; pools are keyed by update index, so resumes see the
     same pool sequence. ``pooled_geometry`` keeps the [tracks, ...] pool
-    resident instead of per-env copies (envs/track.py:PooledTracks) — a few %
-    slower per step, but geometry HBM drops from O(envs) to O(tracks): the
-    layout for very large env counts.
+    resident instead of per-env copies (envs/track.py:PooledTracks) — ~1.6x
+    slower per update, but geometry HBM drops from O(envs) to O(tracks): a
+    capacity escape hatch for env counts beyond what per-env copies allow
+    (65536 envs x 256 steps fits eagerly on one v5e; this is for beyond).
     """
     overrides = dict(
         total_timesteps=total_timesteps, num_envs=num_envs, num_steps=num_steps,
@@ -276,9 +277,9 @@ def main(argv=None):
                         "every K updates (domain randomization; 0 = off)")
     p.add_argument("--pooled-geometry", action="store_true",
                    help="scale mode: keep track geometry as the [tracks, ...] "
-                        "pool + per-env ids instead of per-env copies (slower "
-                        "by a few %%, O(tracks) geometry HBM — for very large "
-                        "--num-envs)")
+                        "pool + per-env ids instead of per-env copies (~1.6x "
+                        "slower update, O(tracks) geometry HBM — capacity "
+                        "escape hatch for extreme --num-envs)")
     p.add_argument("--pfsp", action="store_true",
                    help="scale/multi modes: prioritized fictitious self-play — "
                         "sample pool opponents by (1-winrate)^2 instead of "
