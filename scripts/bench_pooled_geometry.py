@@ -3,9 +3,11 @@
 Two questions, answered into data/pooled_geometry.json:
  1. Overhead at the standard operating point: full single-agent PPO update at
     4096 envs x 256 steps, eager per-env geometry vs the lazy pooled layout.
- 2. Capacity: does 65536 envs x 256 steps (16.7M-sample batch) — which OOMs
-    v5e HBM with eager per-env geometry (see scripts/scaling_sweep.py) — fit
-    and run with the pooled layout?
+ 2. Capacity at 65536 envs x 256 steps (16.7M-sample batch), both layouts.
+    (Historical note: this config OOM'd before init_runner's first
+    reset+observe was jitted — the eager init, not the update or the geometry,
+    was the limit. Both layouts now fit; pooled trades ~1.6-2.4x update time
+    for O(tracks) geometry residency.)
 
   python scripts/bench_pooled_geometry.py
 """
@@ -86,7 +88,8 @@ def main():
             "note": "full single-agent PPO update, best of 3 chained-dispatch "
                     "windows; 'pooled' = PooledTracks lazy [tracks,...] pool "
                     "(O(tracks) geometry HBM), 'eager' = per-env gather_tracks. "
-                    "65536 x 256 OOMs with eager geometry (scaling_sweep.py).",
+                    "Both layouts fit at 65536 x 256 now that trainer init is "
+                    "jitted; pooled trades update time for geometry residency.",
             "results": rows}, f, indent=2)
     print("wrote data/pooled_geometry.json")
 

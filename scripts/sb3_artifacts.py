@@ -36,8 +36,7 @@ def main(argv=None):
                                          num_runs=args.num_runs)
     os.makedirs("data", exist_ok=True)
     with open("data/eval_info_sb3.json", "w") as f:
-        json.dump({k: v for k, v in results.items() if k != "all_episodes"}
-                  | {"all_episodes": results["all_episodes"]}, f, indent=2)
+        json.dump(results, f, indent=2)
     print(json.dumps({k: round(v, 4) for k, v in results.items()
                       if isinstance(v, (int, float))}))
 

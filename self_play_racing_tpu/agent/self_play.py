@@ -138,8 +138,7 @@ class SelfPlayTrainer(PPOTrainer):
         super().shard(mesh)
         from ..parallel import mesh as pmesh
 
-        self.pool = jax.tree.map(
-            lambda x: pmesh._put(x, pmesh.replicated(mesh)), self.pool)
+        self.pool = pmesh.replicate_tree(self.pool, mesh)
 
     # ---- pool management -------------------------------------------------------
 

@@ -270,13 +270,21 @@ class PPOTrainer:
             mean, var, count = _to_host([norm.mean, norm.var, norm.count])
             extra = {"obs_mean": mean, "obs_var": var, "obs_count": count}
         host = _to_host(flat + [self.buffer_log_std])
-        np.savez(
-            path,
-            treedef=str(treedef),
-            log_std=host[-1],
-            **extra,
-            **{f"p{i}": x for i, x in enumerate(host[:-1])},
-        )
+        # _to_host's gathers are collectives every process must join; the
+        # write itself is process-0-only (two concurrent savez truncations on
+        # a shared filesystem would tear the final model file).
+        if jax.process_index() == 0:
+            np.savez(
+                path,
+                treedef=str(treedef),
+                log_std=host[-1],
+                **extra,
+                **{f"p{i}": x for i, x in enumerate(host[:-1])},
+            )
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"trainer_save:{path}")
 
     def load(self, path: str):
         from ..evaluate import load_policy_bundle
@@ -288,5 +296,7 @@ class PPOTrainer:
         self.runner = runner
 
     def save_training_info(self, path: str):
+        if jax.process_index() != 0:  # mirror of every process' host log
+            return
         with open(path, "w") as f:
             json.dump(self.training_info, f)

@@ -191,7 +191,19 @@ def evaluate_sb3_agent_overall(model_path, num_tracks=40, num_runs=5, seed=42,
         from stable_baselines3 import PPO as SB3_PPO
     except ImportError:
         from .interop.sb3_compat import PPO as SB3_PPO
-    model = SB3_PPO.load(model_path)
+        model = SB3_PPO.load(model_path)
+    else:
+        # Real SB3 cannot read checkpoints the vendored compat trainer saved
+        # (torch-pickle zips, not SB3 archives) and fails on them with an
+        # opaque unpickling error; fall back to the compat loader for those.
+        try:
+            model = SB3_PPO.load(model_path)
+        except Exception as sb3_err:
+            from .interop import sb3_compat
+            try:
+                model = sb3_compat.PPO.load(model_path)
+            except Exception:
+                raise sb3_err
     return evaluate_adapter_agent_overall(
         lambda obs: model.predict(obs, deterministic=True)[0],
         num_tracks, num_runs, seed, max_steps)

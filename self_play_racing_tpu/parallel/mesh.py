@@ -61,6 +61,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def replicate_tree(tree, mesh: Mesh):
+    """Place every leaf of a pytree fully replicated over the mesh (multi-host
+    safe): the public form of the placement trainers need for aux state that
+    must be a global array (e.g. the self-play snapshot pool)."""
+    return jax.tree.map(lambda x: _put(x, replicated(mesh)), tree)
+
+
 def _put(x, sharding):
     """Place a globally known value under a sharding, multi-host safe.
 
@@ -116,15 +123,26 @@ def param_shardings(params, mesh: Mesh):
 
 
 def shard_by_env_axis(tree, mesh: Mesh, num_envs: int):
-    """Place every leaf: dim0 == num_envs -> shard on 'data', else replicate."""
+    """Place every leaf: dim0 == num_envs -> shard on 'data', else replicate.
+
+    PooledTracks subtrees are placed by their documented invariant (pool
+    replicated, ids sharded) rather than by shape, so the geometry pool stays
+    replicated even when num_tracks happens to equal num_envs."""
+    from ..envs.track import PooledTracks
 
     def place(x):
+        if isinstance(x, PooledTracks):
+            return PooledTracks(
+                pool=jax.tree.map(lambda a: _put(a, replicated(mesh)), x.pool),
+                ids=_put(x.ids, data_sharding(mesh, x.ids.ndim)),
+            )
         ndim = getattr(x, "ndim", 0)
         if ndim >= 1 and x.shape[0] == num_envs:
             return _put(x, data_sharding(mesh, ndim))
         return _put(x, replicated(mesh))
 
-    return jax.tree.map(place, tree)
+    return jax.tree.map(place, tree,
+                        is_leaf=lambda x: isinstance(x, PooledTracks))
 
 
 def _shard_train_state(train, mesh: Mesh):

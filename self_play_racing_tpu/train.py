@@ -134,10 +134,16 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
     import jax as _jax
 
     n_dev = len(_jax.devices())
-    use_mesh = n_dev > 1 and num_envs % n_dev == 0
-    if use_mesh:
-        overrides["data_shards"] = n_dev
     overrides.update(cfg_overrides)
+    # Shard-local minibatching needs every minibatch to take an equal stratum
+    # from each device's shard; derive the would-be minibatch size from the
+    # final overrides and fall back to the single-shard layout (still legal to
+    # shard, just with the global shuffle) for configs it doesn't divide.
+    probe = self_play_config(**overrides)
+    use_mesh = n_dev > 1 and probe.num_envs % n_dev == 0
+    if (use_mesh and "data_shards" not in cfg_overrides
+            and probe.minibatch_size % n_dev == 0):
+        overrides["data_shards"] = n_dev
     cfg = self_play_config(**overrides)
     _seed_all(cfg.seed)
     env_ids = np.arange(cfg.num_envs) % num_tracks

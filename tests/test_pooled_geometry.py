@@ -76,13 +76,17 @@ def test_pooled_geometry_shards_pool_replicated():
     geometry residency per device is O(tracks), not O(envs/devices)."""
     from self_play_racing_tpu.parallel import mesh as pmesh
 
-    pool, ids = _pool_and_ids(num_envs=16)
-    pooled = trk.pooled_tracks(pool, ids)
     mesh = pmesh.make_mesh()
-    placed = pmesh.shard_by_env_axis(pooled, mesh, 16)
+    # num_tracks != num_envs (the common case) AND num_tracks == num_envs (the
+    # trap: pool leaves then share dim0 with the env axis and shape-based
+    # placement would wrongly shard the pool over 'data').
+    for num_envs, num_tracks in ((16, 4), (8, 8)):
+        pool, ids = _pool_and_ids(num_envs=num_envs, num_tracks=num_tracks)
+        pooled = trk.pooled_tracks(pool, ids)
+        placed = pmesh.shard_by_env_axis(pooled, mesh, num_envs)
 
-    id_spec = placed.ids.sharding.spec
-    assert tuple(id_spec) and tuple(id_spec)[0] == "data"
-    for leaf in jax.tree.leaves(placed.pool):
-        spec = tuple(leaf.sharding.spec)
-        assert not spec or spec[0] is None, f"pool leaf sharded: {spec}"
+        id_spec = placed.ids.sharding.spec
+        assert tuple(id_spec) and tuple(id_spec)[0] == "data"
+        for leaf in jax.tree.leaves(placed.pool):
+            spec = tuple(leaf.sharding.spec)
+            assert not spec or spec[0] is None, f"pool leaf sharded: {spec}"
