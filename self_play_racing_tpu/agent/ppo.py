@@ -53,6 +53,10 @@ class EnvHooks(NamedTuple):
     # their state (self-play), called once per vector step on the merged state so
     # transition/reset skip their own sensing pass (see envs.vector.step).
     refresh: Callable = None
+    # optional: (aux, env_state) -> info with transition-info structure; lets
+    # vector.step substitute the reset state's info on autoreset rows
+    # (Gymnasium NEXT_STEP reset-info contract — see envs.vector.step).
+    info: Callable = None
     # optional: (aux, info, episode_record) -> [S] f32, computed per rollout step,
     # summed over the rollout, and APPENDED to the packed metric vector — the host
     # reads it from unpack_metrics()["_extra"] (self-play uses this for per-slot
@@ -335,6 +339,8 @@ def make_update_step(cfg: PPOConfig, hooks: EnvHooks, action_dim: int = 2):
                 lambda k: hooks.reset(aux, k),
                 refresh_fn=(None if hooks.refresh is None
                             else (lambda s: hooks.refresh(aux, s))),
+                info_fn=(None if hooks.info is None
+                         else (lambda s: hooks.info(aux, s))),
             )
             out = Batch(
                 obs=policy_obs, actions=action, logprobs=logprob,

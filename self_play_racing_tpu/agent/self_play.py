@@ -59,6 +59,9 @@ def make_selfplay_hooks(env_cfg: menv.MultiRacingConfig,
     def refresh(aux, state):
         return sp.refresh(env_cfg, trk.resolve(aux["track"]), state)
 
+    def info(aux, state):
+        return sp.info0_from_state(env_cfg, trk.resolve(aux["track"]), state)
+
     def stats(aux, info, rec):
         opp = aux["opp"]
         mask = rec["mask"]  # episodes that ended this step (terminal info valid)
@@ -72,7 +75,7 @@ def make_selfplay_hooks(env_cfg: menv.MultiRacingConfig,
         return jnp.concatenate([wins, games])
 
     return ppo.EnvHooks(reset=reset, transition=transition, observe=observe,
-                        refresh=refresh,
+                        refresh=refresh, info=info,
                         stats=stats if pool_size > 0 else None)
 
 

@@ -42,7 +42,11 @@ def make_single_env_hooks(env_cfg: senv.RacingConfig) -> ppo.EnvHooks:
     def observe(aux, state):
         return senv.observe(env_cfg, track_of(aux), state)
 
-    return ppo.EnvHooks(reset=reset, transition=transition, observe=observe)
+    def info(aux, state):
+        return senv.info_from_state(env_cfg, track_of(aux), state)
+
+    return ppo.EnvHooks(reset=reset, transition=transition, observe=observe,
+                        info=info)
 
 
 class DivergenceError(RuntimeError):

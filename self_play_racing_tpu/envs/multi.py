@@ -333,6 +333,20 @@ def transition(cfg: MultiRacingConfig, track: TrackArrays, state: MultiState, ac
     return new_state, reward, terminated, truncated, info
 
 
+def info_from_state(cfg: MultiRacingConfig, track: TrackArrays, state: MultiState):
+    """Info for a state outside any transition (Gymnasium reset-info contract,
+    multi_racing_env.py:107-116): ``transition``'s schema with reward zeroed."""
+    dtype = state.x.dtype
+    speed = jnp.sqrt(state.vx**2 + state.vy**2)
+    return {
+        "x": state.x, "y": state.y, "speed": speed,
+        "progress": jnp.where(state.finished, jnp.asarray(1.0, dtype),
+                              state.progress),
+        "crashed": state.crashed, "finished": state.finished,
+        "reward": jnp.zeros_like(speed), "placement": state.placement,
+    }
+
+
 def reset(cfg: MultiRacingConfig, track: TrackArrays, key=None, position_idx=None):
     state = reset_state(cfg, track, key, position_idx)
     return state, observe(cfg, track, state)

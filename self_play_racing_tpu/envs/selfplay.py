@@ -175,6 +175,13 @@ def transition_deferred(cfg: multi.MultiRacingConfig, track: TrackArrays, opp,
     return new_state, rewards[:, 0], done_all, truncated, info0
 
 
+def info0_from_state(cfg: multi.MultiRacingConfig, track: TrackArrays,
+                     state: SelfPlayState):
+    """Agent-0 view of ``multi.info_from_state`` (the reset-info contract)."""
+    info = multi.info_from_state(cfg, track, state.inner)
+    return {k: v[:, 0] for k, v in info.items()}
+
+
 def refresh(cfg: multi.MultiRacingConfig, track: TrackArrays,
             state: SelfPlayState):
     """One observe pass over the (possibly autoreset-merged) state; returns the

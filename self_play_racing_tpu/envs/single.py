@@ -232,6 +232,26 @@ def transition(cfg: RacingConfig, track: TrackArrays, state: RacingState, action
     return new_state, reward, terminated, truncated, info
 
 
+def info_from_state(cfg: RacingConfig, track: TrackArrays, state: RacingState):
+    """Info for a state outside any transition — the Gymnasium reset-info contract
+    (racing_env.py:86-102 returns ``_get_info()`` of the fresh state). Same schema
+    as ``transition``'s info with the per-transition leaves (reward,
+    progress_delta) zeroed, so ``vector.step`` can substitute it on autoreset rows."""
+    dtype = state.car.x.dtype
+    speed = jnp.sqrt(state.car.vx**2 + state.car.vy**2)
+    zero = jnp.zeros_like(speed)
+    return {
+        "x": state.car.x, "y": state.car.y,
+        "speed": speed,
+        "progress": jnp.where(state.car.finished, jnp.asarray(1.0, dtype),
+                              state.car.progress),
+        "crashed": state.car.crashed,
+        "finished": state.car.finished,
+        "reward": zero,
+        "progress_delta": zero,
+    }
+
+
 def reset(cfg: RacingConfig, track: TrackArrays):
     """(state, obs) for a fresh batch."""
     state = reset_state(cfg, track)

@@ -264,8 +264,12 @@ class PooledTracks:
         return gather_tracks(self.pool, self.ids)
 
     @property
-    def num_tracks(self):
+    def num_envs(self):
         return self.ids.shape[0]  # per-env view size, matching gather_tracks
+
+    @property
+    def num_tracks(self):
+        return self.pool.num_tracks  # actual pool size (dim0 of the pool leaves)
 
 
 def pooled_tracks(pool: TrackArrays, track_ids) -> PooledTracks:

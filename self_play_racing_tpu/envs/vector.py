@@ -61,6 +61,7 @@ def step(
     observe_fn: Callable,
     reset_fn: Callable,
     refresh_fn: Callable = None,
+    info_fn: Callable = None,
 ):
     """One lockstep vector step with NEXT_STEP autoreset.
 
@@ -72,19 +73,20 @@ def step(
       that cache observations inside their state (e.g. the self-play env, whose
       opponents act on previous-step obs). Called once on the autoreset-merged
       state, so transition/reset can skip their own sensing pass entirely.
+    info_fn(state) -> info: optional reset-info builder with the same pytree
+      structure as transition_fn's info (e.g. ``single.info_from_state``). On an
+      autoreset row the env step executes on the dead state before the reset
+      state merges in, so its transition info is phantom data; when ``info_fn``
+      is given, those rows are replaced with ``info_fn(merged_state)`` — the
+      reset state's info, matching Gymnasium's NEXT_STEP reset-info contract.
+      Without it, reset-row info is the phantom transition's (gate on
+      ``record["autoreset"]``).
 
     Returns (new_vstate, obs, reward, done, terminated, truncated, info,
     episode_record) where episode_record is a dict with ``return``/``length``/
     ``mask`` for episodes that finished this step (mask False rows are padding,
     mirroring the ``_episode`` mask at ppo.py:124), plus ``autoreset``: True for
     rows where this step was the reset transition.
-
-    CAVEAT (documented divergence from Gymnasium NEXT_STEP): on an autoreset row,
-    ``info`` comes from the phantom transition of the terminated state (the env
-    step still executes before the reset state is merged in), whereas Gymnasium
-    returns the reset's info. reward/done/obs ARE correctly masked; consumers of
-    ``info`` must gate on ``record["autoreset"]``. The training path never reads
-    info, and the eval rollouts use done-latching instead of this wrapper.
     """
     do_reset = vstate.pending_reset
     key, reset_key, step_key = jax.random.split(vstate.key, 3)
@@ -104,6 +106,19 @@ def step(
         merged, obs = refresh_fn(merged)
     else:
         obs = observe_fn(merged)
+
+    if info_fn is not None:
+        # Gymnasium reset-info contract: reset rows report the fresh state's
+        # info (merged IS the fresh state on those rows), not the phantom
+        # transition of the dead state.
+        reset_info = info_fn(merged)
+        info = jax.tree.map(
+            lambda r, s: jnp.where(
+                jnp.reshape(do_reset,
+                            do_reset.shape + (1,) * (s.ndim - do_reset.ndim)),
+                r, s),
+            reset_info, info,
+        )
 
     reward = jnp.where(do_reset, 0.0, reward).astype(reward.dtype)
     terminated = jnp.where(do_reset, False, terminated)

@@ -34,7 +34,13 @@ Faithfully reproduced SB3 defaults (stable_baselines3/ppo/ppo.py, common/policie
 """
 from __future__ import annotations
 
+import base64
+import io
+import json
+import os
+import pickle
 import random
+import zipfile
 from collections import deque
 
 import numpy as np
@@ -151,6 +157,59 @@ class BaseCallback:
 
     def _on_training_end(self):
         pass
+
+
+try:  # subclass the real SB3 callback base when stable_baselines3 is installed
+    from stable_baselines3.common.callbacks import BaseCallback as _LoggerBase
+except ImportError:
+    _LoggerBase = BaseCallback
+
+
+class TrainingLoggerCallback(_LoggerBase):
+    """Learning-curve logger for the SB3 baseline leg (the role of the
+    reference's utils/sb3_logger.py:4-26): record the rolling mean episode
+    reward at each rollout boundary and persist the same ``{"steps": [...],
+    "rewards": [...]}`` JSON schema every trainer in this framework emits, so
+    ``utils.viz.eval_training`` can overlay all learning curves.
+
+    Differences from the reference's callback: the curve is checkpointed to
+    disk after every rollout via an atomic tmp+rename (the reference writes
+    once at training end — a crash loses the whole multi-hour curve), and the
+    accumulator is a single list of (step, reward) pairs serialized on write.
+    """
+
+    def __init__(self, save_path="data/training_info_sb3.json", verbose=0):
+        super().__init__(verbose)
+        self.save_path = save_path
+        self._curve = []  # (global env step, mean episode reward) per rollout
+
+    def _on_step(self) -> bool:
+        return True
+
+    def _on_rollout_end(self) -> None:
+        rewards = [float(ep["r"]) for ep in self.model.ep_info_buffer]
+        if rewards:
+            self._curve.append((int(self.num_timesteps),
+                                sum(rewards) / len(rewards)))
+            self._write()
+
+    def _on_training_end(self) -> None:
+        self._write()
+
+    @property
+    def training_info(self):
+        return {"steps": [s for s, _ in self._curve],
+                "rewards": [r for _, r in self._curve]}
+
+    def _write(self):
+        try:
+            os.makedirs(os.path.dirname(self.save_path) or ".", exist_ok=True)
+            tmp = self.save_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self.training_info, f, indent=2)
+            os.replace(tmp, self.save_path)
+        except OSError as e:
+            print(f"Warning: could not save training data: {e}")
 
 
 # ---------------------------------------------------------------------------
@@ -399,20 +458,103 @@ class PPO:
 
     @classmethod
     def load(cls, path: str, env=None, device="cpu", **_):
+        """Load either format the baseline leg can encounter:
+
+        - an sb3_compat checkpoint (torch pickle written by ``save`` above), or
+        - a GENUINE stable_baselines3 2.x ``.zip`` archive (what the reference's
+          ``model.save`` at train.py:188 produces and evaluate.py:124-171
+          consumes) — parsed directly, no stable_baselines3 install needed.
+        """
         path = str(path)
-        try:
-            data = torch.load(path, map_location="cpu", weights_only=False)
-        except (FileNotFoundError, IsADirectoryError):
-            if path.endswith(".zip"):  # SB3 only ever suffixes, never doubles
-                raise
-            data = torch.load(path + ".zip", map_location="cpu", weights_only=False)
+        if not os.path.exists(path) and not path.endswith(".zip"):
+            path = path + ".zip"  # SB3 only ever suffixes, never doubles
+        if _is_real_sb3_archive(path):
+            return cls._load_sb3_archive(path, env=env, device=device)
+        data = torch.load(path, map_location="cpu", weights_only=False)
         if not isinstance(data, dict) or not data.get("sb3_compat"):
             raise ValueError(
-                f"{path} is not an sb3_compat checkpoint; loading real SB3 .zip "
-                f"archives requires stable_baselines3")
+                f"{path} is neither an sb3_compat checkpoint nor a "
+                f"stable_baselines3 .zip archive")
         model = cls("MlpPolicy", env=env, device=device)
         model._spaces = (data["obs_dim"], data["act_dim"], data["low"], data["high"])
         model.policy = ActorCriticPolicy(data["obs_dim"], data["act_dim"]).to(device)
         model.policy.load_state_dict(data["policy_state_dict"])
         model.num_timesteps = int(data.get("num_timesteps", 0))
         return model
+
+    @classmethod
+    def _load_sb3_archive(cls, path: str, env=None, device="cpu"):
+        """Parse a stable_baselines3 2.x zip archive (save_to_zip_file layout:
+        a ``data`` JSON entry + ``policy.pth`` state dict) into a compat model.
+
+        The MlpPolicy state-dict layout maps 1:1 onto the vendored
+        ActorCriticPolicy: ``mlp_extractor.policy_net.*`` -> ``pi_tower.*``,
+        ``mlp_extractor.value_net.*`` -> ``vf_tower.*``; ``action_net``/
+        ``value_net``/``log_std`` keep their names; the (parameter-free)
+        Flatten feature extractors are dropped.
+        """
+        with zipfile.ZipFile(path) as zf:
+            names = set(zf.namelist())
+            meta = json.loads(zf.read("data").decode("utf-8")) if "data" in names else {}
+            state = torch.load(io.BytesIO(zf.read("policy.pth")),
+                               map_location="cpu", weights_only=False)
+
+        mapped, arch_sizes = {}, {}
+        for k, v in state.items():
+            if k.startswith("mlp_extractor.policy_net."):
+                mapped["pi_tower." + k[len("mlp_extractor.policy_net."):]] = v
+            elif k.startswith("mlp_extractor.value_net."):
+                mapped["vf_tower." + k[len("mlp_extractor.value_net."):]] = v
+            elif k.startswith(("action_net.", "value_net.")) or k == "log_std":
+                mapped[k] = v
+            elif "features_extractor" in k:
+                continue  # FlattenExtractor: no parameters worth keeping
+            else:
+                raise ValueError(f"unsupported SB3 policy layout: key {k!r} "
+                                 f"(sb3_compat implements MlpPolicy for Box only)")
+            if k.startswith("mlp_extractor.policy_net.") and k.endswith(".weight"):
+                arch_sizes[int(k.split(".")[2])] = v.shape[0]
+        if "action_net.weight" not in mapped or not arch_sizes:
+            raise ValueError(f"{path}: no MlpPolicy actor tower found in policy.pth")
+        obs_dim = int(state["mlp_extractor.policy_net.0.weight"].shape[1])
+        act_dim = int(mapped["action_net.weight"].shape[0])
+        net_arch = tuple(arch_sizes[i] for i in sorted(arch_sizes))
+
+        low, high = _decode_space_bounds(meta.get("action_space"), act_dim)
+        model = cls("MlpPolicy", env=env, device=device)
+        model._spaces = (obs_dim, act_dim, low, high)
+        model.policy = ActorCriticPolicy(obs_dim, act_dim, net_arch=net_arch).to(device)
+        model.policy.load_state_dict(mapped)
+        model.num_timesteps = int(meta.get("num_timesteps", 0) or 0)
+        return model
+
+
+def _is_real_sb3_archive(path: str) -> bool:
+    """True for a genuine SB3 save_to_zip_file archive. torch.save files are
+    ALSO zipfiles (torch's zip serialization), so probe the member names: SB3
+    writes top-level ``data`` + ``policy.pth``; torch writes ``*/data.pkl``."""
+    if not zipfile.is_zipfile(path):
+        return False
+    try:
+        with zipfile.ZipFile(path) as zf:
+            names = set(zf.namelist())
+    except zipfile.BadZipFile:
+        return False
+    return "policy.pth" in names and "data" in names
+
+
+def _decode_space_bounds(space_entry, act_dim: int):
+    """Action-space bounds from the data JSON's serialized gymnasium Box.
+
+    SB3 stores spaces as ``{":type:": ..., ":serialized:": base64(cloudpickle)}``;
+    a Box pickles by value (plain numpy arrays), so ``pickle.loads`` restores it
+    with gymnasium installed — no cloudpickle needed. Falls back to the
+    reference env's action bounds ([-1, 1] steering x [0, 1] throttle is a
+    subset of [-1, 1]^d; predict() clipping to a superset is safe because the
+    env clips defensively, racing_env.py:106-107)."""
+    try:
+        box = pickle.loads(base64.b64decode(space_entry[":serialized:"]))
+        return (np.asarray(box.low, np.float32), np.asarray(box.high, np.float32))
+    except Exception:
+        return (np.full((act_dim,), -1.0, np.float32),
+                np.full((act_dim,), 1.0, np.float32))

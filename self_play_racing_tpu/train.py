@@ -190,8 +190,11 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
         from .parallel import mesh as pmesh
 
         mesh = pmesh.make_mesh()
-        print(f"Sharding over {n_dev} devices: mesh {dict(mesh.shape)}, "
-              f"shard-local minibatching (data_shards={cfg.data_shards})")
+        layout = (f"shard-local minibatching (data_shards={cfg.data_shards})"
+                  if cfg.data_shards > 1 else
+                  "global-shuffle minibatching (minibatch size not divisible "
+                  "by the device count)")
+        print(f"Sharding over {n_dev} devices: mesh {dict(mesh.shape)}, {layout}")
         trainer.shard(mesh)
     if resample_tracks_every:
         applied = {"boundary": 0}
@@ -254,7 +257,7 @@ def train_single_baseline(total_timesteps=None,
             return gym.wrappers.RecordEpisodeStatistics(env)
         return thunk
 
-    from .utils.sb3_logger import TrainingLoggerCallback
+    from .interop.sb3_compat import TrainingLoggerCallback
 
     env = DummyVecEnv([make_env(i) for i in range(cfg.num_envs)])
     model = SB3_PPO("MlpPolicy", env, seed=cfg.seed, **(sb3_kwargs or {}))

@@ -84,12 +84,11 @@ def test_sb3_evaluator_gate(tmp_path):
     foreign torch files are rejected with a message naming the real dep."""
     import importlib.util
 
-    import torch
-
-    from self_play_racing_tpu.evaluate import evaluate_sb3_agent_overall
-
     if importlib.util.find_spec("stable_baselines3") is not None:
         pytest.skip("real stable_baselines3 installed; compat gate not in play")
+    torch = pytest.importorskip("torch")
+
+    from self_play_racing_tpu.evaluate import evaluate_sb3_agent_overall
 
     with pytest.raises(FileNotFoundError, match=r"nonexistent\.zip'"):
         evaluate_sb3_agent_overall("nonexistent.zip", 1, 1)

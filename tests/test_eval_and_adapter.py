@@ -105,16 +105,33 @@ def test_gym_adapter_lockstep_with_reference():
     o2, _ = ref.reset()
     np.testing.assert_allclose(o1, o2, atol=1e-7)
     rng = np.random.RandomState(0)
-    for t in range(150):
+    boundaries = 0
+    for t in range(300):
         a = np.array([rng.uniform(-1, 1), rng.uniform(0, 1)], np.float32)
         o1, r1, term1, trunc1, i1 = ours.step(a)
         o2, r2, term2, trunc2, i2 = ref.step(a)
         assert r1 == pytest.approx(r2, rel=0, abs=1e-7), f"step {t}"
         assert (term1, trunc1) == (term2, trunc2)
         np.testing.assert_allclose(o1, o2, atol=1e-6)
+        _assert_info_matches(i1, i2, f"step {t}")
         if term1 or trunc1:
-            ours.reset()
-            ref.reset()
+            # episode boundary: the reset obs AND reset info must agree too
+            # (Gymnasium reset-info contract, racing_env.py:86-102)
+            boundaries += 1
+            o1, i1 = ours.reset()
+            o2, i2 = ref.reset()
+            np.testing.assert_allclose(o1, o2, atol=1e-7)
+            _assert_info_matches(i1, i2, f"reset after step {t}")
+    assert boundaries >= 1, "no episode boundary crossed in 300 steps"
+
+
+def _assert_info_matches(ours, ref, where):
+    np.testing.assert_allclose(ours["position"], ref["position"], atol=1e-6,
+                               err_msg=where)
+    assert ours["speed"] == pytest.approx(float(ref["speed"]), abs=1e-6), where
+    assert ours["progress"] == pytest.approx(float(ref["progress"]), abs=1e-6), where
+    assert bool(ours["crashed"]) == bool(ref["crashed"]), where
+    assert bool(ours["finished"]) == bool(ref["finished"]), where
 
 
 def test_multi_adapter_contract():

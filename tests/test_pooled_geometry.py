@@ -25,9 +25,19 @@ def _pool_and_ids(num_envs=8, num_tracks=4):
 
 
 def _assert_trees_equal(a, b):
-    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
-        if hasattr(la, "dtype") and jnp.issubdtype(la.dtype, jnp.floating):
-            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    leaves_a, treedef_a = jax.tree.flatten(a)
+    leaves_b, treedef_b = jax.tree.flatten(b)
+    assert treedef_a == treedef_b, f"{treedef_a} != {treedef_b}"
+    def to_np(x):
+        x = jnp.asarray(x)
+        if jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+            x = jax.random.key_data(x)
+        return np.asarray(x)
+
+    for la, lb in zip(leaves_a, leaves_b):
+        # every array leaf — float geometry AND int/bool env state (step
+        # counters, done flags, track ids) — must match for a bit-exact drop-in
+        np.testing.assert_array_equal(to_np(la), to_np(lb))
 
 
 def test_resolve_matches_gather():

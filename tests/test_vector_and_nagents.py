@@ -17,7 +17,7 @@ from self_play_racing_tpu.envs import track as trk
 from self_play_racing_tpu.envs import vector
 
 
-def make_vec(n=4):
+def make_vec(n=4, with_info_fn=False):
     pool = trk.make_track_pool([trk.gen_random_track(11, 55, 12, 0.3, 0.5, seed=4)],
                                [8.0])
     track = trk.gather_tracks(pool, [0] * n)
@@ -29,6 +29,8 @@ def make_vec(n=4):
         lambda s, a_, k: senv.transition(cfg, track, s, a_),
         lambda s: senv.observe(cfg, track, s),
         lambda k: senv.reset_state(cfg, track),
+        info_fn=((lambda s: senv.info_from_state(cfg, track, s))
+                 if with_info_fn else None),
     ))
     return cfg, track, vs, obs, step
 
@@ -61,6 +63,34 @@ def test_next_step_autoreset_contract():
         vs, obs, rew, done, term, trunc, info, rec = step(vs, a)
     assert bool(done[0])
     assert int(np.asarray(rec["length"])[0]) == ep_len_at_done
+
+
+def test_autoreset_info_is_reset_state_info():
+    """On an autoreset row, info must describe the fresh reset state (Gymnasium
+    NEXT_STEP reset-info contract), not the phantom transition of the dead state."""
+    cfg, track, vs, obs0, step = make_vec(with_info_fn=True)
+    a = jnp.tile(jnp.asarray([[0.0, 1.0]]), (4, 1))  # drive straight -> crash
+    for t in range(500):
+        vs, obs, rew, done, term, trunc, info, rec = step(vs, a)
+        if bool(done[0]):
+            break
+    assert bool(done[0])
+    assert bool(info["crashed"][0])  # terminal info: the transition's, untouched
+
+    vs, obs, rew, done, term, trunc, info, rec = step(vs, a)
+    assert bool(rec["autoreset"][0])
+    # reset-row info == fresh state's info: start position, zero speed/progress,
+    # no crash flag carried over from the dead episode, zero per-transition leaves
+    start = senv.reset_state(cfg, track)
+    assert float(info["x"][0]) == pytest.approx(float(start.car.x[0]), abs=1e-9)
+    assert float(info["y"][0]) == pytest.approx(float(start.car.y[0]), abs=1e-9)
+    assert float(info["speed"][0]) == 0.0
+    assert not bool(info["crashed"][0])
+    assert not bool(info["finished"][0])
+    assert float(info["reward"][0]) == 0.0
+    assert float(info["progress_delta"][0]) == 0.0
+    assert float(info["progress"][0]) == pytest.approx(
+        float(start.car.progress[0]), abs=1e-9)
 
 
 @pytest.mark.parametrize("num_agents", [3, 4])
