@@ -1,21 +1,40 @@
-"""Scaling-efficiency measurement harness.
+"""Scaling-efficiency measurement harness + multi-host launch wrapper.
 
 Measures full-PPO-update throughput across mesh sizes on whatever devices the current
 process sees (real chips on a pod slice, or the virtual CPU mesh for plumbing checks),
 holding the *per-device* env count constant (weak scaling — the deployment regime:
 more chips host more envs). Efficiency(n) = throughput(n) / (n * throughput(1)).
 
-On a multi-host slice run one process per host with ``jax.distributed.initialize``
-(parallel.mesh.distributed_init) and the same script; the mesh then spans all hosts
-and the env batch is sharded over ICI+DCN automatically.
+Single host:
+  python -m self_play_racing_tpu.parallel.scaling --envs-per-device 512 \\
+      --out data/scaling_1host.json
 
-Usage:
-  python -m self_play_racing_tpu.parallel.scaling --envs-per-device 512
+Multi-host slice — ONE command per host (the north-star ≥80%-at-2-hosts
+measurement; see docs/MULTIHOST.md for the full playbook). ``--coordinator`` is
+host 0's address on the slice-internal network; every process runs the same
+command with its own ``--process-id``:
+
+  # on host i of H:
+  python -m self_play_racing_tpu.parallel.scaling \\
+      --coordinator 10.0.0.1:8476 --num-processes H --process-id i \\
+      --envs-per-device 512 \\
+      --baseline-json data/scaling_1host.json --out data/scaling_Hhost.json
+
+The mesh then spans all hosts (data axis over ICI+DCN); process 0 writes the
+artifact. ``--baseline-json`` points at the single-host artifact so the H-host
+run records efficiency against it (schema below, "scaling_sweep_v1"):
+
+  {"schema": "scaling_sweep_v1", "platform": ..., "num_processes": H,
+   "devices_total": D, "envs_per_device": E, "num_steps": T,
+   "shard_local_minibatch": true, "rows": [measure() dicts],
+   "baseline_env_steps_per_s": <1-host full-mesh steps/s or null>,
+   "efficiency_vs_baseline": <steps/s / (H * baseline) or null>}
 """
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -76,7 +95,22 @@ def main(argv=None):
     p.add_argument("--global-shuffle", action="store_true",
                    help="measure the reference-parity global minibatch shuffle "
                         "(per-minibatch all-gathers) instead of shard-local")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-host: host 0's coordinator address; every process "
+                        "passes the same value (jax.distributed.initialize)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host: total process count (one per host)")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="multi-host: this process's rank, 0..num-processes-1")
+    p.add_argument("--out", default=None, metavar="JSON",
+                   help="artifact path (scaling_sweep_v1 schema); written by "
+                        "process 0 only")
+    p.add_argument("--baseline-json", default=None, metavar="JSON",
+                   help="single-host artifact to compute multi-host efficiency "
+                        "against (its full-mesh env_steps_per_s row)")
     args = p.parse_args(argv)
+
+    pmesh.distributed_init(args.coordinator, args.num_processes, args.process_id)
 
     total = len(jax.devices())
     if args.max_devices:
@@ -96,7 +130,37 @@ def main(argv=None):
         base = results[0]["env_steps_per_s"] if results else r["env_steps_per_s"]
         r["efficiency"] = r["env_steps_per_s"] / (r["devices"] * base)
         results.append(r)
-        print(json.dumps(r))
+        if jax.process_index() == 0:
+            print(json.dumps(r))
+
+    baseline = None
+    if args.baseline_json and os.path.exists(args.baseline_json):
+        with open(args.baseline_json) as f:
+            bl = json.load(f)
+        # the baseline's full-mesh (largest-device) row is the per-host reference
+        baseline = max(bl["rows"], key=lambda r: r["devices"])["env_steps_per_s"]
+
+    if args.out and jax.process_index() == 0:
+        full = results[-1]
+        nproc = jax.process_count()
+        artifact = {
+            "schema": "scaling_sweep_v1",
+            "platform": str(jax.devices()[0]),
+            "num_processes": nproc,
+            "devices_total": len(jax.devices()),
+            "envs_per_device": args.envs_per_device,
+            "num_steps": args.num_steps,
+            "shard_local_minibatch": not args.global_shuffle,
+            "rows": results,
+            "baseline_env_steps_per_s": baseline,
+            "efficiency_vs_baseline": (
+                full["env_steps_per_s"] / (nproc * baseline) if baseline else None
+            ),
+        }
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=2)
+        print(f"wrote {args.out}")
     return results
 
 

@@ -123,6 +123,56 @@ CKPT_WORKER = textwrap.dedent('''
 ''')
 
 
+# VERDICT r2 next #7: the multi-host measurement playbook (docs/MULTIHOST.md)
+# exercised end-to-end — the exact launch-wrapper CLI one would run per host on
+# a pod slice, on the 2-process virtual mesh; process 0 writes the
+# scaling_sweep_v1 artifact with efficiency vs a single-host baseline.
+SCALING_WORKER = textwrap.dedent('''
+    import os, sys
+    pid, nproc, port, out_dir = (int(sys.argv[1]), int(sys.argv[2]),
+                                 sys.argv[3], sys.argv[4])
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, {repo!r})
+    from self_play_racing_tpu.parallel.scaling import main
+    out = os.path.join(out_dir, "scaling_2host.json")
+    rows = main(["--coordinator", f"127.0.0.1:{port}",
+                 "--num-processes", str(nproc), "--process-id", str(pid),
+                 "--envs-per-device", "4", "--num-steps", "8",
+                 "--baseline-json", os.path.join(out_dir, "baseline.json"),
+                 "--out", out])
+    print(f"RESULT {pid} {rows[-1]['devices']} {rows[-1]['num_envs']}")
+''')
+
+
+def test_scaling_cli_two_process_artifact(tmp_path):
+    import json
+
+    # a plausible single-host baseline artifact (what step 1 of the playbook
+    # writes): full-mesh row at 4 devices
+    baseline = {
+        "schema": "scaling_sweep_v1", "num_processes": 1, "devices_total": 4,
+        "rows": [{"devices": 1, "env_steps_per_s": 300.0},
+                 {"devices": 4, "env_steps_per_s": 1000.0}],
+    }
+    (tmp_path / "baseline.json").write_text(json.dumps(baseline))
+
+    results = _run_two_process(tmp_path, SCALING_WORKER,
+                               extra_args=(str(tmp_path),), timeout=300)
+    assert results[0] == ["0", "8", "32"]  # full 8-device mesh, 4 envs/device
+    assert results[1] == ["1", "8", "32"]
+
+    art = json.loads((tmp_path / "scaling_2host.json").read_text())
+    assert art["schema"] == "scaling_sweep_v1"
+    assert art["num_processes"] == 2 and art["devices_total"] == 8
+    assert len(art["rows"]) == 1 and art["rows"][0]["devices"] == 8
+    assert art["baseline_env_steps_per_s"] == 1000.0  # full-mesh baseline row
+    want = art["rows"][0]["env_steps_per_s"] / (2 * 1000.0)
+    assert art["efficiency_vs_baseline"] == pytest.approx(want)
+    assert art["rows"][0]["shard_local_minibatch"] is True
+
+
 def test_two_process_checkpoint_resume(tmp_path):
     ckpt_dir = tmp_path / "ckpt"
     ckpt_dir.mkdir()
