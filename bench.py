@@ -6,8 +6,12 @@ waypoint progress, corner collision) + NEXT_STEP autoreset + episode statistics 
 jitted lax.scan, i.e. exactly the per-step work PPO training performs.
 
 Prints ONE JSON line:
-  {"metric": "env_steps_per_s", "value": N, "unit": "steps/s", "vs_baseline": N/1e6}
+  {"metric": "env_steps_per_s", "value": N, "unit": "steps/s", "vs_baseline": N/1e6,
+   "mfu": f, "flops_per_s": F, "vpu_roofline_flops_per_s": P}
 vs_baseline is the ratio against the BASELINE.md north-star of 1M env-steps/s per host.
+``mfu`` = analytically FLOP-counted rollout rate / the VPU f32 roofline this
+same run measures with a chained-FMA microkernel (see rollout_flop_count /
+measure_vpu_roofline below and BASELINE.md "MFU methodology").
 """
 from __future__ import annotations
 
@@ -16,6 +20,62 @@ import sys
 import time
 
 import numpy as np
+
+
+def rollout_flop_count(env_cfg, track, hidden=64):
+    """Analytic f32 FLOPs per env-step of the benched rollout (policy sample +
+    env transition + observe), counted from the actual padded array shapes.
+    FMA = 2 flops, matching XLA cost-analysis conventions. Breakdown:
+
+    - raycast (ops/geometry.py:raycast_walls, restructured form): per (ray,
+      segment): dotp 3 + sn 4 + inv 1 + t 1 + s 1 + min-select 1 = 11; plus the
+      ray-independent cn term, 5 per segment.  [VPU]
+    - track query (progress_and_collision): center + 4 corners x per-waypoint
+      (dx,dy 2 + d2 3 + proj 3 + reduce 2) = 10.  [VPU]
+    - policy MLP (models/actor_critic.py): actor mu + critic towers, two
+      hidden layers each: 2*(D*h + h*h) MACs x 2 flops x 2 towers + heads
+      (h*2 + h*1 MACs) + tanh/sampling ~ 12h.  [MXU + VPU]
+    - other (dynamics, reward machine, obs features, autoreset merge): ~300.
+    """
+    r = env_cfg.num_sensors
+    s = track.seg_sx.shape[-1]
+    w = track.wp_x.shape[-1]
+    d = env_cfg.obs_dim
+    h = hidden
+    raycast = r * s * 11 + s * 5
+    query = 5 * w * 10
+    mlp = 2 * 2 * (d * h + h * h) + 2 * (h * 2 + h * 1) + 12 * h
+    other = 300
+    per_step = raycast + query + mlp + other
+    return per_step, {"raycast": raycast, "track_query": query, "mlp": mlp,
+                      "other": other}
+
+
+def measure_vpu_roofline(jax, jnp, best_window, n=1 << 22, k=128):
+    """Empirical VPU f32 roofline: one fusion of ``k`` statically-unrolled
+    chained FMAs over ``n`` resident elements (arithmetic intensity 2k/8 = 32
+    flops/byte at k=128 — far past the ~3 flops/byte HBM ridge, so the measured
+    rate is compute-, not bandwidth-limited). XLA does not reassociate float
+    chains, so the k FMAs execute as written. Returns flops/s."""
+    c1 = jnp.float32(1.0000001)
+    c2 = jnp.float32(1e-9)
+
+    @jax.jit
+    def fma_chain(x):
+        y = x
+        for _ in range(k):
+            y = y * c1 + c2
+        return y
+
+    x = jnp.linspace(0.0, 1.0, n, dtype=jnp.float32)
+    box = [fma_chain(x)]
+    float(box[0][0])  # compile + sync
+
+    def once():
+        box[0] = fma_chain(box[0])
+
+    dt, _ = best_window(once, lambda: float(box[0][0]), n_windows=3, n_reps=10)
+    return 2.0 * n * k / dt
 
 
 def main():
@@ -120,6 +180,29 @@ def main():
     print(f"rollout: {steps*reps:,} env-steps/window, best {dt*reps:.3f}s "
           f"(windows: {', '.join(f'{d*reps:.3f}' for d in dts)})", file=sys.stderr)
 
+    # MFU: analytic flop count of this exact rollout / the VPU f32 roofline
+    # measured by this same run (self-calibrating; BASELINE.md "MFU methodology")
+    per_step_flops, breakdown = rollout_flop_count(env_cfg, track)
+    flops_per_s = per_step_flops * sps
+    vpu_peak = measure_vpu_roofline(jax, jnp, best_window)
+    mfu = flops_per_s / vpu_peak
+    mlp_share = breakdown["mlp"] / per_step_flops
+    print(f"MFU: {per_step_flops:,} flops/env-step "
+          f"(raycast {breakdown['raycast']:,} / query {breakdown['track_query']:,}"
+          f" / mlp {breakdown['mlp']:,}) -> {flops_per_s/1e12:.2f} TFLOP/s "
+          f"vs VPU roofline {vpu_peak/1e12:.2f} TFLOP/s = {mfu:.1%} MFU "
+          f"(MLP/MXU share {mlp_share:.1%} of flops)", file=sys.stderr)
+    try:  # cross-check the analytic count against XLA's own cost model
+        cost = rollout_jit.lower(track, params, *box[0][:3]).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        xla_flops = cost.get("flops", 0.0) / (num_envs * scan_steps)
+        if xla_flops:
+            print(f"  (XLA cost model: {xla_flops:,.0f} flops/env-step, "
+                  f"analytic/{'XLA'}: {per_step_flops/xla_flops:.2f}x)",
+                  file=sys.stderr)
+    except Exception as e:  # cost_analysis availability varies by backend
+        print(f"  (XLA cost model unavailable: {e})", file=sys.stderr)
+
     # secondary: full PPO training throughput (rollout + GAE + 10x16 minibatch update)
     from self_play_racing_tpu.agent.trainer import PPOTrainer
     from self_play_racing_tpu.configs import base_config
@@ -170,6 +253,9 @@ def main():
         "value": round(sps),
         "unit": "steps/s",
         "vs_baseline": round(sps / 1_000_000, 3),
+        "mfu": round(mfu, 4),
+        "flops_per_s": round(flops_per_s),
+        "vpu_roofline_flops_per_s": round(vpu_peak),
     }))
 
 

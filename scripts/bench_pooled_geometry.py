@@ -1,18 +1,24 @@
-"""Measure the PooledTracks memory-scaling geometry layout on the real chip.
+"""Measure the capacity (pool-resident) geometry layouts on the real chip.
 
-Two questions, answered into data/pooled_geometry.json:
- 1. Overhead at the standard operating point: full single-agent PPO update at
-    4096 envs x 256 steps, eager per-env geometry vs the lazy pooled layout.
- 2. Capacity at 65536 envs x 256 steps (16.7M-sample batch), both layouts.
-    (Historical note: this config OOM'd before init_runner's first
-    reset+observe was jitted — the eager init, not the update or the geometry,
-    was the limit. Both layouts now fit; pooled trades ~1.6-2.4x update time
-    for O(tracks) geometry residency.)
+Three questions, answered into data/pooled_geometry.json:
+ 1. Overhead at the standard operating point (4096 envs x 256 steps, full
+    single-agent PPO update): eager per-env geometry vs the two pool-resident
+    layouts — ``gather`` (PooledTracks: arbitrary env->track ids, per-env
+    in-step gather) and ``grouped`` (GroupedPooledTracks: block-grouped envs,
+    fused broadcast expansion — designed to close gather's 1.6-2.5x gap).
+ 2. The same at 65536 envs x 256 steps (16.7M-sample batch).
+ 3. The fits-only-pooled frontier: eager per-env geometry costs ~26 KB/env
+    (4x[W=512] + 5x[S=896] f32 = 6528 f32), i.e. ~6.8 GB at 262144 envs before
+    rollout buffers — approaching the v5e's 16 GB HBM. Short rollouts
+    (64 steps) keep the buffers small so geometry is the binding constraint:
+    the 262144/393216-env rows record where eager dies (RESOURCE_EXHAUSTED is
+    data, not failure) while grouped keeps running at O(tracks) residency.
 
-  python scripts/bench_pooled_geometry.py
+  python scripts/bench_pooled_geometry.py [--quick]
 """
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -34,13 +40,27 @@ from self_play_racing_tpu.configs import base_config
 from self_play_racing_tpu.envs import single as senv
 from self_play_racing_tpu.envs import track as trk
 
+NUM_TRACKS = 16
 
-def measure(num_envs, num_steps, pooled, n_windows=3, n_reps=3):
-    cps = trk.gen_tracks(16, seed=1)
-    widths = [float(np.random.RandomState(i).randint(6, 10)) for i in range(16)]
+
+def make_layout(pool, num_envs, layout):
+    if layout == "eager":
+        return trk.gather_tracks(pool, np.arange(num_envs) % NUM_TRACKS)
+    if layout == "gather":
+        return trk.pooled_tracks(pool, np.arange(num_envs) % NUM_TRACKS)
+    if layout == "grouped":
+        assert num_envs % NUM_TRACKS == 0
+        return trk.grouped_pooled_tracks(pool, np.arange(NUM_TRACKS),
+                                         num_envs // NUM_TRACKS)
+    raise ValueError(layout)
+
+
+def measure(num_envs, num_steps, layout, n_windows=3, n_reps=3):
+    cps = trk.gen_tracks(NUM_TRACKS, seed=1)
+    widths = [float(np.random.RandomState(i).randint(6, 10))
+              for i in range(NUM_TRACKS)]
     pool = trk.make_track_pool(cps, widths, dtype=jnp.float32)
-    ids = np.arange(num_envs) % 16
-    track = trk.pooled_tracks(pool, ids) if pooled else trk.gather_tracks(pool, ids)
+    track = make_layout(pool, num_envs, layout)
     cfg = base_config(num_envs=num_envs, num_steps=num_steps,
                       total_timesteps=num_envs * num_steps * 100)
     tr = PPOTrainer(cfg, senv.RacingConfig(num_sensors=11), track)
@@ -56,27 +76,36 @@ def measure(num_envs, num_steps, pooled, n_windows=3, n_reps=3):
         unpack_metrics(m)
         dts.append((time.perf_counter() - t0) / n_reps)
     d = min(dts)
-    return {"num_envs": num_envs, "num_steps": num_steps, "pooled": pooled,
+    return {"num_envs": num_envs, "num_steps": num_steps, "layout": layout,
             "ms_per_update": d * 1e3, "env_steps_per_s": cfg.batch_size / d}
 
 
-def main():
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--quick", action="store_true",
+                   help="skip the capacity-frontier rows")
+    args = p.parse_args(argv)
+
     device = str(jax.devices()[0])
     print(f"device: {device}", file=sys.stderr)
+    grid = [
+        (4096, 256, "eager"), (4096, 256, "gather"), (4096, 256, "grouped"),
+        (65536, 256, "eager"), (65536, 256, "gather"), (65536, 256, "grouped"),
+    ]
+    if not args.quick:
+        # capacity frontier: short rollouts so geometry (not buffers) binds
+        grid += [
+            (262144, 64, "eager"), (262144, 64, "grouped"),
+            (393216, 64, "eager"), (393216, 64, "grouped"),
+        ]
     rows = []
-    for num_envs, num_steps, pooled in [
-        (4096, 256, False),
-        (4096, 256, True),
-        (65536, 256, False),
-        (65536, 256, True),
-    ]:
-        label = "pooled" if pooled else "eager"
-        print(f"{num_envs} envs x {num_steps} steps [{label}]", file=sys.stderr)
+    for num_envs, num_steps, layout in grid:
+        print(f"{num_envs} envs x {num_steps} steps [{layout}]", file=sys.stderr)
         try:
-            row = measure(num_envs, num_steps, pooled)
+            row = measure(num_envs, num_steps, layout)
         except Exception as e:  # RESOURCE_EXHAUSTED is data here, not failure
-            row = {"num_envs": num_envs, "num_steps": num_steps, "pooled": pooled,
-                   "error": type(e).__name__,
+            row = {"num_envs": num_envs, "num_steps": num_steps,
+                   "layout": layout, "error": type(e).__name__,
                    "detail": str(e).splitlines()[0][:200]}
         rows.append(row)
         print(json.dumps(row), file=sys.stderr)
@@ -86,10 +115,14 @@ def main():
         json.dump({
             "platform": device,
             "note": "full single-agent PPO update, best of 3 chained-dispatch "
-                    "windows; 'pooled' = PooledTracks lazy [tracks,...] pool "
-                    "(O(tracks) geometry HBM), 'eager' = per-env gather_tracks. "
-                    "Both layouts fit at 65536 x 256 now that trainer init is "
-                    "jitted; pooled trades update time for geometry residency.",
+                    "windows. layouts: eager = per-env gather_tracks copies "
+                    "(~26 KB/env geometry HBM); gather = PooledTracks per-env "
+                    "in-step gather (O(tracks) residency, arbitrary ids); "
+                    "grouped = GroupedPooledTracks block-grouped broadcast "
+                    "(O(tracks) residency, near-eager speed). The 262144/"
+                    "393216-env 64-step rows probe the eager HBM wall: an "
+                    "error entry there is the measured capacity limit, not a "
+                    "bench failure.",
             "results": rows}, f, indent=2)
     print("wrote data/pooled_geometry.json")
 

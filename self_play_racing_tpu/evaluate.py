@@ -259,7 +259,7 @@ def eval(models: dict, num_tracks=40, num_runs=5, seed=42, out_dir="data",
     (kind, path) with kind in {"single", "multi"}."""
     os.makedirs(out_dir, exist_ok=True)
     grid = M.build_eval_grid(num_tracks, num_runs, seed)
-    result_files, labels = [], []
+    by_label = {}
     for label, (kind, path) in models.items():
         print(f"Evaluating {label} ({kind}) from {path}")
         if kind == "sb3":
@@ -274,12 +274,12 @@ def eval(models: dict, num_tracks=40, num_runs=5, seed=42, out_dir="data",
         print(f"  success_rate={results['success_rate']:.3f} "
               f"crash_rate={results['crash_rate']:.3f} "
               f"avg_speed={results['avg_speed']:.2f}")
-        result_files.append(out_path)
-        labels.append(label)
-    if chart and result_files:
+        by_label[label] = {"path": out_path, "results": results}
+    if chart and by_label:
         os.makedirs(os.path.dirname(chart) or ".", exist_ok=True)
-        display_comparison(result_files, labels, chart)
-    return result_files
+        display_comparison([v["path"] for v in by_label.values()],
+                           list(by_label), chart)
+    return by_label
 
 
 def main(argv=None):
@@ -308,8 +308,8 @@ def main(argv=None):
         models[f"sb3_{i}" if len(args.sb3) > 1 else "sb3"] = ("sb3", path)
     if not models:
         raise SystemExit("pass at least one --single/--multi/--sb3 model path")
-    eval(models, args.num_tracks, args.num_runs, args.seed,
-         deterministic=args.deterministic)
+    by_label = eval(models, args.num_tracks, args.num_runs, args.seed,
+                    deterministic=args.deterministic)
     if args.procgen:
         if not args.multi:
             print("--procgen: no --multi models to evaluate (flag only applies "
@@ -318,8 +318,7 @@ def main(argv=None):
             r = evaluate_multi_agent_procgen(path, num_tracks=args.num_tracks,
                                              deterministic=args.deterministic)
             label = f"self_play_{i}" if len(args.multi) > 1 else "self_play"
-            with open(os.path.join("data", f"eval_info_{label}.json")) as f:
-                grid = json.load(f)
+            grid = by_label[label]["results"]  # in-memory, not a re-read
             print(f"procgen zero-shot ({os.path.basename(path)}): "
                   f"success_rate={r['success_rate']:.3f} "
                   f"crash_rate={r['crash_rate']:.3f} "

@@ -128,7 +128,7 @@ def shard_by_env_axis(tree, mesh: Mesh, num_envs: int):
     PooledTracks subtrees are placed by their documented invariant (pool
     replicated, ids sharded) rather than by shape, so the geometry pool stays
     replicated even when num_tracks happens to equal num_envs."""
-    from ..envs.track import PooledTracks
+    from ..envs.track import GroupedPooledTracks, PooledTracks
 
     def place(x):
         if isinstance(x, PooledTracks):
@@ -136,13 +136,25 @@ def shard_by_env_axis(tree, mesh: Mesh, num_envs: int):
                 pool=jax.tree.map(lambda a: _put(a, replicated(mesh)), x.pool),
                 ids=_put(x.ids, data_sharding(mesh, x.ids.ndim)),
             )
+        if isinstance(x, GroupedPooledTracks):
+            # pool replicates; block_ids shard over 'data' when blocks divide
+            # evenly (each device then owns whole blocks), else replicate them
+            n_data = mesh.shape[mesh.axis_names[0]]
+            ids_sh = (data_sharding(mesh, 1)
+                      if x.block_ids.shape[0] % n_data == 0 else replicated(mesh))
+            return GroupedPooledTracks(
+                pool=jax.tree.map(lambda a: _put(a, replicated(mesh)), x.pool),
+                block_ids=_put(x.block_ids, ids_sh),
+                block_envs=x.block_envs,
+            )
         ndim = getattr(x, "ndim", 0)
         if ndim >= 1 and x.shape[0] == num_envs:
             return _put(x, data_sharding(mesh, ndim))
         return _put(x, replicated(mesh))
 
-    return jax.tree.map(place, tree,
-                        is_leaf=lambda x: isinstance(x, PooledTracks))
+    return jax.tree.map(
+        place, tree,
+        is_leaf=lambda x: isinstance(x, (PooledTracks, GroupedPooledTracks)))
 
 
 def _shard_train_state(train, mesh: Mesh):

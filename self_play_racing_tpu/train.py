@@ -119,10 +119,13 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
     is generated *on device* (envs/procgen.py — no host round-trips) and all
     envs restart on it; pools are keyed by update index, so resumes see the
     same pool sequence. ``pooled_geometry`` keeps the [tracks, ...] pool
-    resident instead of per-env copies (envs/track.py:PooledTracks) — ~1.6x
-    slower per update, but geometry HBM drops from O(envs) to O(tracks): a
-    capacity escape hatch for env counts beyond what per-env copies allow
-    (65536 envs x 256 steps fits eagerly on one v5e; this is for beyond).
+    resident instead of per-env copies: ``"gather"`` (or True) is the
+    arbitrary-assignment per-env in-step gather (envs/track.py:PooledTracks,
+    ~1.6x slower per update); ``"grouped"`` blocks envs by track and expands
+    rows by fused broadcast (GroupedPooledTracks — near-eager speed). Both drop
+    geometry HBM from O(envs) to O(tracks): the capacity path for env counts
+    beyond what per-env copies allow (65536 envs x 256 steps fits eagerly on
+    one v5e; this is for beyond).
     """
     overrides = dict(
         total_timesteps=total_timesteps, num_envs=num_envs, num_steps=num_steps,
@@ -147,6 +150,16 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
     cfg = self_play_config(**overrides)
     _seed_all(cfg.seed)
     env_ids = np.arange(cfg.num_envs) % num_tracks
+
+    def track_view(pool):
+        if pooled_geometry == "grouped":
+            if cfg.num_envs % num_tracks:
+                raise ValueError("grouped geometry needs num_envs % num_tracks == 0")
+            return trk.grouped_pooled_tracks(pool, np.arange(num_tracks),
+                                             cfg.num_envs // num_tracks)
+        if pooled_geometry:
+            return trk.pooled_tracks(pool, env_ids)
+        return trk.gather_tracks(pool, env_ids)
     if resample_tracks_every:
         import jax
 
@@ -163,9 +176,7 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
             if boundary:
                 k = jax.random.fold_in(k, boundary)
             pool = pg.gen_track_pool_device(k, num_tracks, track_points)
-            if pooled_geometry:
-                return trk.pooled_tracks(pool, env_ids)
-            return trk.gather_tracks(pool, env_ids)
+            return track_view(pool)
 
         print(f"Generating {num_tracks}-track pool on device "
               f"(resampled every {resample_tracks_every} updates)")
@@ -175,8 +186,7 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
         cps = trk.gen_tracks(num_tracks=num_tracks, seed=cfg.seed)
         widths = [float(np.random.randint(6, 10)) for _ in range(num_tracks)]
         pool = trk.make_track_pool(cps, widths)
-        track = (trk.pooled_tracks(pool, env_ids) if pooled_geometry
-                 else trk.gather_tracks(pool, env_ids))
+        track = track_view(pool)
     env_cfg = menv.MultiRacingConfig(num_agents=num_agents, num_sensors=11)
 
     print("=" * 60)
@@ -284,11 +294,15 @@ def main(argv=None):
     p.add_argument("--resample-tracks-every", type=int, default=None, metavar="K",
                    help="scale mode: resample the whole track pool on device "
                         "every K updates (domain randomization; 0 = off)")
-    p.add_argument("--pooled-geometry", action="store_true",
+    p.add_argument("--pooled-geometry", nargs="?", const="gather",
+                   choices=["gather", "grouped"], default=None,
                    help="scale mode: keep track geometry as the [tracks, ...] "
-                        "pool + per-env ids instead of per-env copies (~1.6x "
-                        "slower update, O(tracks) geometry HBM — capacity "
-                        "escape hatch for extreme --num-envs)")
+                        "pool instead of per-env copies (O(tracks) geometry "
+                        "HBM — the capacity path for extreme --num-envs). "
+                        "'gather' = per-env in-step gather, arbitrary "
+                        "env->track ids (~1.6x slower update); 'grouped' = "
+                        "block-grouped envs + fused broadcast (near-eager "
+                        "speed; default when a value is omitted is 'gather')")
     p.add_argument("--pfsp", action="store_true",
                    help="scale/multi modes: prioritized fictitious self-play — "
                         "sample pool opponents by (1-winrate)^2 instead of "
@@ -316,7 +330,7 @@ def main(argv=None):
         if args.resample_tracks_every is not None:
             skw["resample_tracks_every"] = args.resample_tracks_every
         if args.pooled_geometry:
-            skw["pooled_geometry"] = True
+            skw["pooled_geometry"] = args.pooled_geometry
         train_scale(num_updates=args.num_updates, resume_from=args.resume, **skw)
     if args.mode in ("sb3", "all"):
         train_single_baseline(args.total_timesteps, **kw)

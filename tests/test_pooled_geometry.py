@@ -81,6 +81,57 @@ def test_selfplay_training_identical_under_pooled_geometry():
     _assert_trees_equal(trainers[0].runner.vec, trainers[1].runner.vec)
 
 
+def test_grouped_resolve_matches_gather():
+    """GroupedPooledTracks (block-grouped capacity layout) == eager gather of
+    the equivalent repeated assignment, leaf-for-leaf."""
+    pool, _ = _pool_and_ids(num_tracks=4)
+    block_ids = np.array([2, 0, 3, 1])
+    be = 3
+    grouped = trk.grouped_pooled_tracks(pool, block_ids, be)
+    eager = trk.gather_tracks(pool, np.repeat(block_ids, be))
+    _assert_trees_equal(eager, trk.resolve(grouped))
+    assert grouped.num_envs == 12
+    assert grouped.num_tracks == 4
+    np.testing.assert_array_equal(np.asarray(grouped.ids),
+                                  np.repeat(block_ids, be))
+
+
+def test_ppo_training_identical_under_grouped_geometry():
+    pool, _ = _pool_and_ids(num_tracks=4)
+    block_ids, be = np.arange(4), 2   # 8 envs in 4 blocks of 2
+    env_ids = np.repeat(block_ids, be)
+    cfg = base_config(num_envs=8, num_steps=32, num_minibatches=2,
+                      update_epochs=2, total_timesteps=8 * 32 * 3)
+    env_cfg = senv.RacingConfig(num_sensors=11)
+
+    eager = PPOTrainer(cfg, env_cfg, trk.gather_tracks(pool, env_ids))
+    lazy = PPOTrainer(cfg, env_cfg, trk.grouped_pooled_tracks(pool, block_ids, be))
+    eager.train(num_updates=2)
+    lazy.train(num_updates=2)
+    _assert_trees_equal(eager.runner.train.params, lazy.runner.train.params)
+    _assert_trees_equal(eager.runner.vec, lazy.runner.vec)
+
+
+def test_grouped_geometry_shards_pool_replicated():
+    """Grouped layout under the data mesh: pool replicates, block_ids shard
+    when blocks divide the axis, and the resolved geometry still matches."""
+    from self_play_racing_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.make_mesh()
+    n_dev = mesh.shape["data"]
+    pool, _ = _pool_and_ids(num_tracks=4)
+    nb, be = 2 * n_dev, 2
+    grouped = trk.grouped_pooled_tracks(pool, np.arange(nb) % 4, be)
+    placed = pmesh.shard_by_env_axis(grouped, mesh, nb * be)
+
+    spec = tuple(placed.block_ids.sharding.spec)
+    assert spec and spec[0] == "data"
+    for leaf in jax.tree.leaves(placed.pool):
+        s = tuple(leaf.sharding.spec)
+        assert not s or s[0] is None, f"pool leaf sharded: {s}"
+    _assert_trees_equal(trk.resolve(grouped), trk.resolve(placed))
+
+
 def test_pooled_geometry_shards_pool_replicated():
     """Under the data mesh the pool leaves replicate, ids shard over 'data' —
     geometry residency per device is O(tracks), not O(envs/devices)."""
