@@ -207,6 +207,46 @@ def observe(cfg: MultiRacingConfig, track: TrackArrays, state: MultiState) -> jn
     )
 
 
+# Above this many elements in the [envs, agents, 1+corners, waypoints] query
+# grid, XLA's variadic-reduce fusion on TPU stops fusing its operands and
+# materializes them in HBM — measured 140 -> 2160 us/step going 31M -> 63M
+# elements (4096 envs, W=384, A=4 -> 8 on a v5e). Past the threshold the query
+# runs on a merged [envs*agents] batch axis (track rows expanded by fused
+# broadcast+reshape, identical per-element math — bit-exact), which tiles
+# cleanly at any size: 650 us/step at the same A=8 point, ~5x faster. Below it
+# the unmerged form is ~1.6x faster (225 vs 363 us/step at A=4), so both
+# layouts are kept and chosen by static shape.
+_QUERY_MERGE_THRESHOLD = 48_000_000
+
+
+def _track_query(track: TrackArrays, x, y, ccx, ccy):
+    """progress_and_collision over the [N, A] car grid, layout-switched on the
+    static grid size (see _QUERY_MERGE_THRESHOLD)."""
+    n, a = x.shape
+    w = track.wp_x.shape[-1]
+    if n * a * (1 + ccx.shape[-1]) * w <= _QUERY_MERGE_THRESHOLD:
+        return geo.progress_and_collision(
+            x, y, ccx, ccy, track.wp_x[:, None, :], track.wp_y[:, None, :],
+            track.nrm_x[:, None, :], track.nrm_y[:, None, :],
+            track.n_wp[:, None], track.track_width[:, None],
+        )
+
+    def flat(v):
+        return v.reshape((n * a,) + v.shape[2:])
+
+    def expand(v):  # per-env track rows broadcast across agents, lazily
+        return jnp.broadcast_to(
+            v[:, None], (n, a) + v.shape[1:]).reshape((n * a,) + v.shape[1:])
+
+    prog, hit = geo.progress_and_collision(
+        flat(x), flat(y), flat(ccx), flat(ccy),
+        expand(track.wp_x), expand(track.wp_y),
+        expand(track.nrm_x), expand(track.nrm_y),
+        expand(track.n_wp), expand(track.track_width),
+    )
+    return prog.reshape(n, a), hit.reshape(n, a)
+
+
 def transition(cfg: MultiRacingConfig, track: TrackArrays, state: MultiState, action):
     """One step: (new_state, rewards [N,A], terminated [N], truncated [N], info).
 
@@ -224,11 +264,7 @@ def transition(cfg: MultiRacingConfig, track: TrackArrays, state: MultiState, ac
         steering, throttle, cfg.dt, cfg.car,
     )
     ccx, ccy = geo.car_corners(nx, ny, nang, cfg.car.length / 2, cfg.car.width / 2)
-    raw_progress, hit_wall = geo.progress_and_collision(
-        nx, ny, ccx, ccy, track.wp_x[:, None, :], track.wp_y[:, None, :],
-        track.nrm_x[:, None, :], track.nrm_y[:, None, :],
-        track.n_wp[:, None], track.track_width[:, None],
-    )
+    raw_progress, hit_wall = _track_query(track, nx, ny, ccx, ccy)
     new_progress = jnp.where(state.crashed, state.progress, raw_progress)
     crashed = state.crashed | (~state.crashed & hit_wall)
 

@@ -242,3 +242,28 @@ def test_lap_completion_and_winner_parity():
             assert int(jinfo["placement"][0, 0]) == 1
             return
     pytest.fail("car 0 never completed the lap")
+
+
+def test_track_query_merged_layout_bit_exact(monkeypatch):
+    """The merged [envs*agents] track-query layout (taken above
+    _QUERY_MERGE_THRESHOLD, the measured TPU fusion cliff) is bit-identical to
+    the unmerged [envs, agents] form — same per-element math, different tiling."""
+    pool = jtrack.make_track_pool(
+        [jtrack.gen_random_track(12, 60, 15, 0.4, 0.5, seed=3)], [8.0])
+    track = jtrack.gather_tracks(pool, [0] * 6)
+    cfg = menv.MultiRacingConfig(num_agents=5, num_sensors=11)
+    state = menv.reset_state(cfg, track, jax.random.key(2))
+    rng = np.random.RandomState(0)
+    # drive off the start grid so corners probe varied waypoints
+    for _ in range(20):
+        a = jnp.asarray(rng.uniform(-1, 1, (6, 5, 2)))
+        state, *_ = menv.transition(cfg, track, state, a)
+
+    from self_play_racing_tpu.ops import geometry as geo
+    ccx, ccy = geo.car_corners(state.x, state.y, state.angle,
+                               cfg.car.length / 2, cfg.car.width / 2)
+    small = menv._track_query(track, state.x, state.y, ccx, ccy)
+    monkeypatch.setattr(menv, "_QUERY_MERGE_THRESHOLD", 0)
+    merged = menv._track_query(track, state.x, state.y, ccx, ccy)
+    np.testing.assert_array_equal(np.asarray(small[0]), np.asarray(merged[0]))
+    np.testing.assert_array_equal(np.asarray(small[1]), np.asarray(merged[1]))
