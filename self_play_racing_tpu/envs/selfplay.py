@@ -106,17 +106,36 @@ def opponent_actions(cfg: multi.MultiRacingConfig, opp, opp_obs, key):
     return jnp.where(use, policy_act, rand_act)
 
 
+def opponent_actions_all_seats(cfg: multi.MultiRacingConfig, opp, obs_seats, key):
+    """Frozen-opponent actions for ALL opponent seats in one batched apply.
+
+    obs_seats: [N, seats, obs_dim] previous-step observations of seats 1..A-1.
+    Returns [N, seats, 2]. Each env's single pool opponent drives all of its
+    seats (opp["idx"] is per-env), so the seat axis folds into the batch axis:
+    one MLP apply over [N*seats] replaces the per-seat Python loop, which at
+    A=8 emitted 7 separate tiny batched-GEMM + gather fusions per step
+    (measured ~3.5 ms/step at 4096 envs on a v5e — the dominant rollout cost).
+    Identical math per seat; only the noise stream differs from the per-seat
+    form (one key for the flat batch instead of a key per seat).
+    """
+    n, seats, d = obs_seats.shape
+    flat_opp = dict(opp)
+    for field in ("idx", "use_policy"):
+        v = jnp.asarray(opp[field])
+        if v.ndim != 0:
+            # row-major reshape is env-major: (env0 seat0), (env0 seat1), ...
+            flat_opp[field] = jnp.repeat(v, seats)
+    acts = opponent_actions(cfg, flat_opp, obs_seats.reshape(n * seats, d), key)
+    return acts.reshape(n, seats, 2)
+
+
 def transition(cfg: multi.MultiRacingConfig, track: TrackArrays, opp,
                state: SelfPlayState, action0, key):
     """Agent-0 step: opponents act from their previous-step obs, the combined action
     steps the multi env, and the new state's observations are computed once."""
-    a = cfg.num_agents
-    keys = jax.random.split(key, a - 1)
-    opp_acts = [
-        opponent_actions(cfg, opp, state.obs_all[:, seat], keys[seat - 1])
-        for seat in range(1, a)
-    ]
-    actions = jnp.stack([action0.astype(jnp.float32), *opp_acts], axis=1)  # [N, A, 2]
+    opp_acts = opponent_actions_all_seats(cfg, opp, state.obs_all[:, 1:], key)
+    actions = jnp.concatenate(
+        [action0.astype(jnp.float32)[:, None], opp_acts], axis=1)  # [N, A, 2]
 
     inner, rewards, terminated, truncated, info = multi.transition(
         cfg, track, state.inner, actions
@@ -157,13 +176,9 @@ def reset_state_deferred(cfg: multi.MultiRacingConfig, track: TrackArrays,
 def transition_deferred(cfg: multi.MultiRacingConfig, track: TrackArrays, opp,
                         state: SelfPlayState, action0, key):
     """Like ``transition`` but skips the observe pass; pair with ``refresh``."""
-    a = cfg.num_agents
-    keys = jax.random.split(key, a - 1)
-    opp_acts = [
-        opponent_actions(cfg, opp, state.obs_all[:, seat], keys[seat - 1])
-        for seat in range(1, a)
-    ]
-    actions = jnp.stack([action0.astype(jnp.float32), *opp_acts], axis=1)  # [N, A, 2]
+    opp_acts = opponent_actions_all_seats(cfg, opp, state.obs_all[:, 1:], key)
+    actions = jnp.concatenate(
+        [action0.astype(jnp.float32)[:, None], opp_acts], axis=1)  # [N, A, 2]
 
     inner, rewards, terminated, truncated, info = multi.transition(
         cfg, track, state.inner, actions
