@@ -174,6 +174,26 @@ def main(argv=None):
         "ours_steps": our_steps,
         "ours_rewards": our_rewards,
     }
+    # preserve side-channel keys stashed by --reference-only runs (pool sizes)
+    if os.path.exists(out_json):
+        with open(out_json) as f:
+            prev = json.load(f)
+        for k in ("reference_pool_sizes",):
+            if k in prev:
+                payload[k] = prev[k]
+
+    # parity statistic: mean absolute pointwise gap over the converged
+    # (second) half of the curve, relative to the reference's mean level there
+    m = min(len(ref_rewards), len(our_rewards))
+    if m >= 4:
+        h = m // 2
+        import numpy as _np
+
+        r = _np.asarray(ref_rewards[h:m], float)
+        o = _np.asarray(our_rewards[h:m], float)
+        gap = float(_np.mean(_np.abs(o - r)) / max(abs(_np.mean(r)), 1e-9))
+        payload["mean_abs_gap_converged_half"] = gap
+        print(f"mean abs gap over converged half ({m - h} updates): {gap:.1%}")
     os.makedirs(os.path.dirname(out_json), exist_ok=True)
     with open(out_json, "w") as f:
         json.dump(payload, f, indent=2)
@@ -188,11 +208,25 @@ def main(argv=None):
     fig, ax = plt.subplots(figsize=(9, 5))
     ax.plot(ref_steps, ref_rewards, "o-", label="reference (torch, CPU)", ms=3)
     ax.plot(our_steps, our_rewards, "s-", label="ours (JAX, TPU)", ms=3)
+    if args.mode == "selfplay":
+        # snapshot cadence (self_play_ppo.py:113-122): pool grows every 15
+        # updates to 5, then the oldest member is evicted
+        batch = 32768
+        for u in range(15, args.updates, 15):
+            filled = u // 15
+            ax.axvline(u * batch, color="gray", ls=":", lw=0.8)
+            label = (f"snap {filled}" if filled <= 5
+                     else f"snap {filled} (evict)")
+            ax.annotate(label, (u * batch, ax.get_ylim()[0]), fontsize=6,
+                        rotation=90, va="bottom", ha="right", color="gray")
     ax.set_xlabel("env steps")
     ax.set_ylabel("mean episode reward")
     title_mode = "single-agent" if args.mode == "single" else "self-play"
+    gap_note = (f" | converged-half gap "
+                f"{payload['mean_abs_gap_converged_half']:.1%}"
+                if "mean_abs_gap_converged_half" in payload else "")
     ax.set_title(f"Learning-curve parity ({title_mode}): identical config, "
-                 "seed-level variance")
+                 f"seed-level variance{gap_note}")
     ax.legend()
     ax.grid(alpha=0.3)
     fig.tight_layout()
