@@ -6,7 +6,7 @@ virtual-mesh plumbing sweep and (b) a real-chip env-count sweep.
                                          # CPU timings are NOT TPU predictions)
   python scripts/scaling_sweep.py envs   # one real chip: 1k/4k/16k/64k envs
 
-Both append their section into data/scaling_r02.json.
+Both append their section into data/scaling.json.
 """
 from __future__ import annotations
 
@@ -17,7 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-OUT = "data/scaling_r02.json"
+OUT = "data/scaling.json"
 
 
 def _merge(section: str, payload):
