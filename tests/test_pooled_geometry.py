@@ -112,6 +112,27 @@ def test_ppo_training_identical_under_grouped_geometry():
     _assert_trees_equal(eager.runner.vec, lazy.runner.vec)
 
 
+def test_selfplay_training_identical_under_grouped_geometry():
+    pool, _ = _pool_and_ids(num_tracks=4)
+    block_ids, be = np.arange(4), 2
+    env_ids = np.repeat(block_ids, be)
+    cfg = self_play_config(num_envs=8, num_steps=32, num_minibatches=2,
+                           update_epochs=2, total_timesteps=8 * 32 * 3,
+                           snapshot_freq=1, pool_size=2,
+                           opponent_per_env=True, reset_envs_each_update=False)
+    env_cfg = menv.MultiRacingConfig(num_agents=2, num_sensors=11)
+
+    trainers = []
+    for track in (trk.gather_tracks(pool, env_ids),
+                  trk.grouped_pooled_tracks(pool, block_ids, be)):
+        sp = SelfPlayTrainer(cfg, env_cfg, track)
+        sp.train(num_updates=2)
+        trainers.append(sp)
+    _assert_trees_equal(trainers[0].runner.train.params,
+                        trainers[1].runner.train.params)
+    _assert_trees_equal(trainers[0].runner.vec, trainers[1].runner.vec)
+
+
 def test_grouped_geometry_shards_pool_replicated():
     """Grouped layout under the data mesh: pool replicates, block_ids shard
     when blocks divide the axis, and the resolved geometry still matches."""
