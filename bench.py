@@ -139,6 +139,13 @@ def main():
             dts.append((time.perf_counter() - t0) / n_reps)
         return min(dts), dts
 
+    # Seed the GLOBAL NumPy RNG first, exactly like train.py's _seed_all:
+    # gen_tracks draws each track's parameters from the ambient global stream
+    # BEFORE its internal reseed (reference quirk #6, track.py:47-56), so an
+    # unseeded process got a different pool — and a different workload — every
+    # run (max waypoints 384 vs 512 = +-17% raycast work, which masqueraded as
+    # tunnel spread in rounds 1-2).
+    np.random.seed(1)
     cps = trk.gen_tracks(num_tracks, seed=1)
     widths = [float(np.random.RandomState(i).randint(6, 10)) for i in range(num_tracks)]
     pool = trk.make_track_pool(cps, widths, dtype=jnp.float32)

@@ -56,6 +56,7 @@ def make_layout(pool, num_envs, layout):
 
 
 def measure(num_envs, num_steps, layout, n_windows=3, n_reps=3):
+    np.random.seed(1)  # pin the pool: gen_tracks reads the global stream (quirk #6)
     cps = trk.gen_tracks(NUM_TRACKS, seed=1)
     widths = [float(np.random.RandomState(i).randint(6, 10))
               for i in range(NUM_TRACKS)]
