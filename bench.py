@@ -84,8 +84,10 @@ def measure_vpu_roofline(jax, jnp, n=1 << 22, k=256):
         return time.perf_counter() - t0
 
     timed(2)  # warm
-    slope = min((timed(34) - timed(2)) / 32 for _ in range(3))
-    return 2.0 * n * k / slope
+    # median of several slope pairs: a single (hi - lo) pair inherits tunnel
+    # jitter from both endpoints (observed 15% spread run-to-run with min-of-3)
+    slopes = sorted((timed(34) - timed(2)) / 32 for _ in range(5))
+    return 2.0 * n * k / slopes[len(slopes) // 2]
 
 
 def main():
