@@ -387,6 +387,11 @@ class SelfPlayTrainer(PPOTrainer):
         self._resumed_at_update = completed
         self.training_info = ckpt.get(
             "training_info", {"steps": [], "rewards": [], "opponent_pool_size": []})
+        # reference checkpoints carry only steps/rewards/opponent_pool_size;
+        # ensure the keys OUR _post_update appends to exist (same normalization
+        # as the native-checkpoint path above)
+        self.training_info.setdefault("opponent_pool_size", [])
+        self.training_info.setdefault("pool_win_rate", [])
         print(f"Loaded reference torch checkpoint {path} "
               f"(resuming at update {completed}, pool {self.pool_count})")
 

@@ -126,6 +126,12 @@ def test_torch_checkpoint_resume_trains(tmp_path):
     info = trainer.train(resume_from=path, num_updates=2)
     assert trainer._host_update == 33
     assert np.isfinite(info["rewards"]).all()
+    # reference checkpoints carry only steps/rewards/opponent_pool_size; the
+    # loader must (re)create the keys OUR _post_update appends to, or the
+    # first update with completed episodes KeyErrors (found resuming the
+    # genuine 3M-step reference run's checkpoint_update_90)
+    assert "pool_win_rate" in trainer.training_info
+    assert "opponent_pool_size" in trainer.training_info
 
 
 def test_torch_checkpoint_rejects_wrong_architecture(tmp_path):
