@@ -145,3 +145,25 @@ def test_torch_checkpoint_rejects_wrong_architecture(tmp_path):
     path, *_ = _ref_checkpoint(tmp_path, env_cfg)
     with pytest.raises(ValueError, match="architecture"):
         trainer.load_torch_checkpoint(path)
+
+
+def test_load_genuine_reference_checkpoint():
+    """The REAL reference run's final checkpoint (produced by its own full
+    3M-step training in this container, committed as a fixture) loads and
+    continues training: update counter 91, full 5-member pool, our
+    training_info keys present."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "models", "reference_selfplay_checkpoint_update_90.pth")
+    if not os.path.exists(path):
+        pytest.skip("genuine reference checkpoint fixture not present")
+    trainer, env_cfg = _trainer()
+    trainer.load_torch_checkpoint(path)
+    assert trainer._host_update == 91
+    assert trainer.pool_count == 5
+    assert "pool_win_rate" in trainer.training_info
+    assert len(trainer.training_info["rewards"]) > 80  # its real curve rode along
+    trainer.select_opponent()
+    info = trainer.train(num_updates=1)
+    assert np.isfinite(info["rewards"]).all()
