@@ -265,6 +265,10 @@ class SelfPlayTrainer(PPOTrainer):
     def save_checkpoint(self, path: str):
         meta = {
             "num_snapshots": self.num_snapshots,
+            # exact Python-int step count (the device TrainState leaf is a dead
+            # i32 that would wrap past ~2.1B steps; the update index never
+            # wraps, so this is authoritative for arbitrarily long runs)
+            "global_step": self._host_update * self.cfg.batch_size,
             "config": dataclasses.asdict(
                 dataclasses.replace(self.cfg)
             ),

@@ -294,8 +294,8 @@ class GroupedPooledTracks:
     Bit-exact drop-in for
     ``gather_tracks(pool, np.repeat(block_ids, block_envs))`` — verified in
     tests/test_pooled_geometry.py. Requires env count % block_envs == 0; choose
-    block_envs as envs_per_track (e.g. ``group_envs_by_track`` in
-    ops/pallas_raycast.py produces a compatible contiguous assignment).
+    block_envs as envs_per_track (``np.repeat(np.arange(T), N // T)`` is the
+    compatible contiguous assignment).
     """
 
     pool: TrackArrays

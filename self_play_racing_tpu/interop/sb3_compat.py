@@ -499,7 +499,7 @@ class PPO:
             state = torch.load(io.BytesIO(zf.read("policy.pth")),
                                map_location="cpu", weights_only=False)
 
-        mapped, arch_sizes = {}, {}
+        mapped, arch_sizes, vf_sizes = {}, {}, {}
         for k, v in state.items():
             if k.startswith("mlp_extractor.policy_net."):
                 mapped["pi_tower." + k[len("mlp_extractor.policy_net."):]] = v
@@ -514,11 +514,22 @@ class PPO:
                                  f"(sb3_compat implements MlpPolicy for Box only)")
             if k.startswith("mlp_extractor.policy_net.") and k.endswith(".weight"):
                 arch_sizes[int(k.split(".")[2])] = v.shape[0]
+            elif k.startswith("mlp_extractor.value_net.") and k.endswith(".weight"):
+                vf_sizes[int(k.split(".")[2])] = v.shape[0]
         if "action_net.weight" not in mapped or not arch_sizes:
             raise ValueError(f"{path}: no MlpPolicy actor tower found in policy.pth")
         obs_dim = int(state["mlp_extractor.policy_net.0.weight"].shape[1])
         act_dim = int(mapped["action_net.weight"].shape[0])
         net_arch = tuple(arch_sizes[i] for i in sorted(arch_sizes))
+        # dict net_arch (different pi/vf widths) would pass the key checks but
+        # then fail load_state_dict with a raw shape mismatch — reject it with
+        # the loader's explicit error instead
+        vf_arch = tuple(vf_sizes[i] for i in sorted(vf_sizes))
+        if vf_arch != net_arch:
+            raise ValueError(
+                f"unsupported SB3 policy layout: dict net_arch with distinct "
+                f"pi {net_arch} / vf {vf_arch} towers (sb3_compat implements "
+                f"the shared-width MlpPolicy layout only)")
 
         low, high = _decode_space_bounds(meta.get("action_space"), act_dim)
         model = cls("MlpPolicy", env=env, device=device)

@@ -35,6 +35,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -113,15 +114,20 @@ def main(argv=None):
     pmesh.distributed_init(args.coordinator, args.num_processes, args.process_id)
 
     total = len(jax.devices())
-    if args.max_devices:
-        total = min(total, args.max_devices)
     if jax.process_count() > 1:
         # multi-controller: every process must participate in every collective, so
         # a mesh over a device-prefix (which excludes some hosts' devices) would
         # desync the processes. Measure only the full mesh; sweep sub-sizes by
-        # launching on smaller slices.
+        # launching on smaller slices. --max-devices is ignored here for the same
+        # reason: capping would carve a device-prefix mesh out of the global set.
+        if args.max_devices and jax.process_index() == 0:
+            print(f"--max-devices={args.max_devices} ignored on a multi-host "
+                  "run (full-mesh-only; launch on a smaller slice instead)",
+                  file=sys.stderr)
         sizes = [total]
     else:
+        if args.max_devices:
+            total = min(total, args.max_devices)
         sizes = [n for n in (1, 2, 4, 8, 16, 32, 64) if n <= total]
     results = []
     for n in sizes:

@@ -302,7 +302,12 @@ def main(argv=None):
                         "'gather' = per-env in-step gather, arbitrary "
                         "env->track ids (~1.6x slower update); 'grouped' = "
                         "block-grouped envs + fused broadcast (near-eager "
-                        "speed; default when a value is omitted is 'gather')")
+                        "speed; default when a value is omitted is 'gather'). "
+                        "NOTE: 'grouped' changes the env->track assignment "
+                        "from interleaved arange(N)%%T to block-grouped "
+                        "repeat(arange(T), N/T) — per-track env counts are "
+                        "identical but per-env trajectories differ, so runs "
+                        "are not seed-for-seed comparable across layout flags")
     p.add_argument("--pfsp", action="store_true",
                    help="scale/multi modes: prioritized fictitious self-play — "
                         "sample pool opponents by (1-winrate)^2 instead of "
