@@ -151,7 +151,10 @@ def main():
     cps = trk.gen_tracks(num_tracks, seed=1)
     widths = [float(np.random.RandomState(i).randint(6, 10)) for i in range(num_tracks)]
     pool = trk.make_track_pool(cps, widths, dtype=jnp.float32)
-    track = trk.gather_tracks(pool, np.arange(num_envs) % num_tracks)
+    # pool-resident tiled layout: identical env->track assignment (arange % T)
+    # and bit-identical outputs to the eager gather, with O(tracks) geometry
+    # HBM traffic — the production default (envs/track.py:TiledPooledTracks)
+    track = trk.tiled_pooled_tracks(pool, num_envs)
     env_cfg = senv.RacingConfig(num_sensors=11)
     hooks = make_single_env_hooks(env_cfg)
 
@@ -178,7 +181,9 @@ def main():
 
     rollout_jit = jax.jit(rollout)
 
-    state, obs = senv.reset(env_cfg, track)
+    # jitted: the pool-resident layout expands to per-env geometry as fused
+    # index math; an eager reset would materialize it (CLAUDE.md gotcha)
+    state, obs = jax.jit(lambda t: senv.reset(env_cfg, trk.resolve(t)))(track)
     vstate = vector.init(state, num_envs, jax.random.key(1))
     key = jax.random.key(2)
 
@@ -201,7 +206,7 @@ def main():
 
     # MFU: analytic flop count of this exact rollout / the VPU f32 roofline
     # measured by this same run (self-calibrating; BASELINE.md "MFU methodology")
-    per_step_flops, breakdown = rollout_flop_count(env_cfg, track)
+    per_step_flops, breakdown = rollout_flop_count(env_cfg, pool)
     flops_per_s = per_step_flops * sps
     vpu_peak = measure_vpu_roofline(jax, jnp)
     mfu = flops_per_s / vpu_peak

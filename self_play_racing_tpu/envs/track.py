@@ -335,8 +335,63 @@ def grouped_pooled_tracks(pool: TrackArrays, block_ids,
         block_envs=int(block_envs))
 
 
+@struct.dataclass
+class TiledPooledTracks:
+    """Pool-resident geometry for the INTERLEAVED env->track assignment
+    ``arange(num_envs) % num_tracks`` — the framework's default assignment
+    (reference train.py:28-31 uses identity track_id per env; our vectorized
+    default tiles the pool round-robin).
+
+    Env ``i`` reads pool row ``i % num_tracks`` via a leading broadcast +
+    reshape (``[T, ...] -> [reps, T, ...] -> [reps*T, ...]``) that XLA fuses
+    into the consuming raycast/waypoint fusions as pure index math: per-env
+    geometry never materializes in HBM, geometry residency and per-step HBM
+    traffic drop from O(envs) to O(tracks), and — unlike the block-grouped
+    capacity layout — the env->track assignment (hence every trajectory) stays
+    bit-identical to the eager ``gather_tracks(pool, arange(N) % T)`` default.
+    Measured: eliminates the eager layout's ~12% rollout composition penalty
+    (per-step geometry prefetch) at 4096 envs on v5e (docs/DESIGN.md).
+
+    Requires ``num_envs % num_tracks == 0``.
+    """
+
+    pool: TrackArrays
+    reps: int = struct.field(pytree_node=False)   # envs per track = N // T
+
+    def gather(self) -> TrackArrays:
+        def expand(a):
+            t = a.shape[0]
+            return jnp.broadcast_to(
+                a[None], (self.reps,) + a.shape
+            ).reshape((self.reps * t,) + a.shape[1:])
+        return jax.tree.map(expand, self.pool)
+
+    @property
+    def num_envs(self):
+        return self.reps * self.pool.num_tracks
+
+    @property
+    def num_tracks(self):
+        return self.pool.num_tracks
+
+    @property
+    def ids(self):
+        """Per-env track ids (identical to the eager default assignment)."""
+        return jnp.tile(
+            jnp.arange(self.pool.num_tracks, dtype=jnp.int32), self.reps)
+
+
+def tiled_pooled_tracks(pool: TrackArrays, num_envs: int) -> TiledPooledTracks:
+    """Pool-resident layout for the default interleaved assignment (see
+    TiledPooledTracks). ``num_envs`` must be a multiple of the pool size."""
+    t = pool.num_tracks
+    if num_envs % t:
+        raise ValueError(f"num_envs={num_envs} not divisible by pool size {t}")
+    return TiledPooledTracks(pool=pool, reps=num_envs // t)
+
+
 def resolve(track) -> TrackArrays:
     """Per-env TrackArrays from any geometry layout."""
-    if isinstance(track, (PooledTracks, GroupedPooledTracks)):
+    if isinstance(track, (PooledTracks, GroupedPooledTracks, TiledPooledTracks)):
         return track.gather()
     return track

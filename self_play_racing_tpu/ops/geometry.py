@@ -16,6 +16,8 @@ All functions broadcast over arbitrary leading batch dims.
 """
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -36,27 +38,84 @@ def raycast_walls(ox, oy, dx, dy, seg_sx, seg_sy, seg_vx, seg_vy, max_dist,
     ``max_dist`` — a hit farther than max_dist is still returned as-is. Only the no-hit
     case returns max_dist.
     """
-    # Algebraically restructured from track.py:176-193 to minimize [rays, segments]
-    # work (identical math up to reassociation, ~1 ulp):
+    # Algebraically restructured from track.py:176-193 (identical math up to
+    # reassociation; empirically bit-identical to the reference form over every
+    # fuzzed ray — see tests):
     #   cross(v2, v1) = oy*v2x - ox*v2y + (v2y*sx - v2x*sy)   [ray-independent!]
     #   dot(v1, v3)   = (sx*dy - sy*dx) - (ox*dy - oy*dx)     [cross(o,d) per ray]
-    # plus one reciprocal + two multiplies instead of two divides. The reciprocal
-    # is taken raw: dotp == 0 yields inf/NaN in t/s, and those rows are already
-    # masked by ``valid`` — skipping the safe-denominator select saves a full
-    # [rays, segments] pass (~5% of the kernel on v5e).
+    # and — the big one — DIVISION-FREE per pair. f32 divide costs ~18 VPU slots
+    # even fully pipelined (measured; docs/DESIGN.md "VPU op-cost model"), ~40%
+    # of the old kernel. Instead:
+    #   t >= 0    <=>  cn and dotp agree in sign          (cn*dotp >= 0)
+    #   s in[0,1] <=>  sn and dotp agree in sign AND |sn| <= |dotp|
+    #   argmin(t) over hits == cross-multiply argmin over (a, d) = (|cn|, |dotp|)
+    #                 (a1/d1 < a2/d2 <=> a1*d2 < a2*d1 for positive d)
+    # so the [rays, segments] grid does only mul/sub/abs/cmp/select work and ONE
+    # true division happens per ray on the reduced winner (t = a_min/d_min —
+    # correctly rounded, like the reference's np divide; the old reciprocal form
+    # double-rounded). Measured 23% faster at [4096, 11, 896] on v5e.
+    # Corner case (documented divergence, unreachable with real f32 geometry):
+    # the sign-agreement products underflow to +-0 only when |cn*dotp| or
+    # |sn*dotp| < ~1e-45 with |dotp| > eps, i.e. |cn| or |sn| < ~1e-35.
+    #
+    # Above ~_RAYCAST_CHUNK_ELEMS grid elements XLA stops fusing the two-payload
+    # reduce's elementwise producers (the same variadic-reduce fusion cliff as
+    # envs/multi.py:_QUERY_MERGE_THRESHOLD — [4096, 2, 11, 896] measured 629 vs
+    # an expected ~380 us/step), so the segment axis is split into static
+    # chunks, each its own fully-fused reduce, combined by the same comparator
+    # on the tiny per-chunk winners.
     if seg_c is None:
         seg_c = seg_vy * seg_sx - seg_vx * seg_sy
-    cn = oy[..., None] * seg_vx - ox[..., None] * seg_vy + seg_c
-    dotp = seg_vy * dx[..., None] - seg_vx * dy[..., None]
+
+    batch_shape = jnp.broadcast_shapes(
+        ox.shape, oy.shape, dx.shape, dy.shape, seg_sx.shape[:-1])
+    s_total = seg_sx.shape[-1]
+    grid = int(np.prod(batch_shape, dtype=np.int64)) * s_total
+    n_chunks = max(1, -(-grid // _RAYCAST_CHUNK_ELEMS))
+    chunk = -(-s_total // n_chunks)
+
     u = ox * dy - oy * dx
-    sn = seg_sx * dy[..., None] - seg_sy * dx[..., None] - u[..., None]
-    valid = jnp.abs(dotp) > _PARALLEL_EPS
-    inv = 1.0 / dotp
-    t = cn * inv
-    s = sn * inv
-    hit = valid & (t >= 0.0) & (s >= 0.0) & (s <= 1.0)
-    tmin = jnp.min(jnp.where(hit, t, jnp.inf), axis=-1)
+
+    def one_chunk(lo, hi):
+        sx, sy = seg_sx[..., lo:hi], seg_sy[..., lo:hi]
+        vx, vy = seg_vx[..., lo:hi], seg_vy[..., lo:hi]
+        sc = seg_c[..., lo:hi]
+        cn = oy[..., None] * vx - ox[..., None] * vy + sc
+        dotp = vy * dx[..., None] - vx * dy[..., None]
+        sn = sx * dy[..., None] - sy * dx[..., None] - u[..., None]
+        d = jnp.abs(dotp)
+        hit = ((d > _PARALLEL_EPS) & (cn * dotp >= 0.0) & (sn * dotp >= 0.0)
+               & (jnp.abs(sn) <= d))
+        akey = jnp.where(hit, jnp.abs(cn), jnp.inf)
+        # 1, not 0: inf*0 = NaN would poison the reduce
+        dkey = jnp.where(hit, d, 1.0)
+        init = (jnp.asarray(jnp.inf, akey.dtype), jnp.asarray(1.0, dkey.dtype))
+        return jax.lax.reduce((akey, dkey), init, _ratio_min_reducer,
+                              (akey.ndim - 1,))
+
+    amin, dmin = one_chunk(0, min(chunk, s_total))
+    for lo in range(chunk, s_total, chunk):
+        ca, cd = one_chunk(lo, min(lo + chunk, s_total))
+        take = ca * dmin < amin * cd
+        amin = jnp.where(take, ca, amin)
+        dmin = jnp.where(take, cd, dmin)
+    tmin = amin / dmin
     return jnp.where(jnp.isinf(tmin), jnp.asarray(max_dist, tmin.dtype), tmin)
+
+
+# Two-payload-reduce fusion cliff (v5e-measured): [4096, 11, 896] = 40.4M grid
+# elements fuses fully; [4096, 2, 11, 896] = 80.7M does not (XLA materializes
+# the reduce operands). Chunks are sized to stay under the fused regime.
+_RAYCAST_CHUNK_ELEMS = 44_000_000
+
+
+def _ratio_min_reducer(p, q):
+    """Lexicographic-free min over ratios a/d (d > 0) without dividing:
+    a1/d1 < a2/d2  <=>  a1*d2 < a2*d1. Ties keep the first operand."""
+    pa, pd = p
+    qa, qd = q
+    take_q = qa * pd < pa * qd
+    return (jnp.where(take_q, qa, pa), jnp.where(take_q, qd, pd))
 
 
 def raycast_walls_fan(ox, oy, dx, dy, seg_sx, seg_sy, seg_vx, seg_vy, max_dist,
@@ -83,12 +142,16 @@ def raycast_walls_fan(ox, oy, dx, dy, seg_sx, seg_sy, seg_vx, seg_vy, max_dist,
         - seg_vx[..., None, :] * dy[..., None]                         # B + (R, S)
     sn = seg_sx[..., None, :] * dy[..., None] \
         - seg_sy[..., None, :] * dx[..., None] - u[..., None]
-    valid = jnp.abs(dotp) > _PARALLEL_EPS
-    inv = 1.0 / dotp
-    t = cn[..., None, :] * inv
-    s = sn * inv
-    hit = valid & (t >= 0.0) & (s >= 0.0) & (s <= 1.0)
-    tmin = jnp.min(jnp.where(hit, t, jnp.inf), axis=-1)
+    d = jnp.abs(dotp)
+    cn_r = cn[..., None, :]
+    hit = ((d > _PARALLEL_EPS) & (cn_r * dotp >= 0.0) & (sn * dotp >= 0.0)
+           & (jnp.abs(sn) <= d))
+    akey = jnp.where(hit, jnp.abs(cn_r), jnp.inf)
+    dkey = jnp.where(hit, d, 1.0)
+    init = (jnp.asarray(jnp.inf, akey.dtype), jnp.asarray(1.0, dkey.dtype))
+    amin, dmin = jax.lax.reduce((akey, dkey), init, _ratio_min_reducer,
+                                (akey.ndim - 1,))
+    tmin = amin / dmin
     return jnp.where(jnp.isinf(tmin), jnp.asarray(max_dist, tmin.dtype), tmin)
 
 

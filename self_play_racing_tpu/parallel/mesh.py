@@ -128,9 +128,17 @@ def shard_by_env_axis(tree, mesh: Mesh, num_envs: int):
     PooledTracks subtrees are placed by their documented invariant (pool
     replicated, ids sharded) rather than by shape, so the geometry pool stays
     replicated even when num_tracks happens to equal num_envs."""
-    from ..envs.track import GroupedPooledTracks, PooledTracks
+    from ..envs.track import GroupedPooledTracks, PooledTracks, TiledPooledTracks
 
     def place(x):
+        if isinstance(x, TiledPooledTracks):
+            # no per-env leaves at all: the pool replicates and the tiled env
+            # axis is born inside the partitioned program (broadcast+reshape),
+            # which SPMD slices per device when reps % data_shards == 0
+            return TiledPooledTracks(
+                pool=jax.tree.map(lambda a: _put(a, replicated(mesh)), x.pool),
+                reps=x.reps,
+            )
         if isinstance(x, PooledTracks):
             return PooledTracks(
                 pool=jax.tree.map(lambda a: _put(a, replicated(mesh)), x.pool),
@@ -154,7 +162,8 @@ def shard_by_env_axis(tree, mesh: Mesh, num_envs: int):
 
     return jax.tree.map(
         place, tree,
-        is_leaf=lambda x: isinstance(x, (PooledTracks, GroupedPooledTracks)))
+        is_leaf=lambda x: isinstance(
+            x, (PooledTracks, GroupedPooledTracks, TiledPooledTracks)))
 
 
 def _shard_train_state(train, mesh: Mesh):

@@ -172,3 +172,50 @@ def test_pooled_geometry_shards_pool_replicated():
         for leaf in jax.tree.leaves(placed.pool):
             spec = tuple(leaf.sharding.spec)
             assert not spec or spec[0] is None, f"pool leaf sharded: {spec}"
+
+
+def test_tiled_resolve_matches_gather():
+    """TiledPooledTracks == eager gather of the interleaved default assignment
+    arange(N) % T, leaf-for-leaf — the layout must be a bit-exact drop-in for
+    the framework's default geometry."""
+    pool, ids = _pool_and_ids(num_envs=12, num_tracks=4)
+    tiled = trk.tiled_pooled_tracks(pool, 12)
+    eager = trk.gather_tracks(pool, ids)
+    _assert_trees_equal(eager, trk.resolve(tiled))
+    assert tiled.num_envs == 12 and tiled.num_tracks == 4
+    np.testing.assert_array_equal(np.asarray(tiled.ids), ids)
+
+    import pytest
+    with pytest.raises(ValueError):
+        trk.tiled_pooled_tracks(pool, 10)  # not divisible
+
+
+def test_ppo_training_identical_under_tiled_geometry():
+    pool, ids = _pool_and_ids(num_envs=8, num_tracks=4)
+    cfg = base_config(num_envs=8, num_steps=32, num_minibatches=2,
+                      update_epochs=2, total_timesteps=8 * 32 * 3)
+    env_cfg = senv.RacingConfig(num_sensors=11)
+
+    eager = PPOTrainer(cfg, env_cfg, trk.gather_tracks(pool, ids))
+    lazy = PPOTrainer(cfg, env_cfg, trk.tiled_pooled_tracks(pool, 8))
+    eager.train(num_updates=2)
+    lazy.train(num_updates=2)
+    _assert_trees_equal(eager.runner.train.params, lazy.runner.train.params)
+    _assert_trees_equal(eager.runner.vec, lazy.runner.vec)
+
+
+def test_tiled_geometry_shards_pool_replicated():
+    """Tiled layout under the data mesh: the pool replicates; there are no
+    per-env leaves at all (the env axis is born inside the partitioned
+    program), and the resolved geometry matches."""
+    from self_play_racing_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.make_mesh()
+    n_dev = mesh.shape["data"]
+    pool, _ = _pool_and_ids(num_tracks=4)
+    tiled = trk.tiled_pooled_tracks(pool, 4 * 2 * n_dev)
+    placed = pmesh.shard_by_env_axis(tiled, mesh, 4 * 2 * n_dev)
+    for leaf in jax.tree.leaves(placed.pool):
+        s = tuple(leaf.sharding.spec)
+        assert not s or s[0] is None, f"pool leaf sharded: {s}"
+    _assert_trees_equal(trk.resolve(tiled), trk.resolve(placed))
