@@ -16,6 +16,7 @@ measure_vpu_roofline below and BASELINE.md "MFU methodology").
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -51,17 +52,27 @@ def rollout_flop_count(env_cfg, track, hidden=64):
                       "other": other}
 
 
-def measure_vpu_roofline(jax, jnp, n=1 << 22, k=256):
-    """Empirical VPU f32 roofline: one fusion of ``k`` statically-unrolled
+CALIBRATION_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "data", "vpu_roofline_calibration.json")
+
+
+def measure_vpu_roofline(jax, jnp, n=1 << 22, k=256, pairs=7):
+    """Empirical VPU f32 FMA roofline: one fusion of ``k`` statically-unrolled
     chained FMAs over ``n`` resident elements (arithmetic intensity 2k/8 = 64
     flops/byte at k=256 — far past the ~3 flops/byte HBM ridge, so the measured
     rate is compute-, not bandwidth-limited). XLA does not reassociate float
-    chains, so the k FMAs execute as written.
+    chains, so the k FMAs execute as written. NOTE: this is the FMA-chain
+    throughput — the denominator convention for every ``mfu`` this repo has
+    ever reported. ILP-richer kernels measure up to ~2.5x more on a v5e
+    (docs/DESIGN.md "VPU op-cost model"); MFU here is therefore a conservative,
+    convention-stable utilization number, not an absolute hardware fraction.
 
     Timed by SLOPE — (time of 34 chained calls) − (time of 2) over 32 — so the
     tunnel dispatch+sync floor cancels exactly instead of polluting a ~1 ms
     kernel (a plain best-window read of this kernel under a 30 ms floor
-    under-reports the roofline ~6×). Returns flops/s."""
+    under-reports the roofline ~6×). Non-positive slopes (tunnel hiccups mid
+    measurement, ADVICE r3) are dropped. Returns flops/s, or None if no usable
+    slope was measured."""
     c1 = jnp.float32(1.0000001)
     c2 = jnp.float32(1e-9)
 
@@ -86,11 +97,64 @@ def measure_vpu_roofline(jax, jnp, n=1 << 22, k=256):
     timed(2)  # warm
     # median of several slope pairs: a single (hi - lo) pair inherits tunnel
     # jitter from both endpoints (observed 15% spread run-to-run with min-of-3)
-    slopes = sorted((timed(34) - timed(2)) / 32 for _ in range(5))
+    slopes = sorted(s for s in ((timed(34) - timed(2)) / 32 for _ in range(pairs))
+                    if s > 0)
+    if not slopes:
+        return None
     return 2.0 * n * k / slopes[len(slopes) // 2]
 
 
-def main():
+def resolve_roofline(measured):
+    """Pick the MFU denominator (VERDICT r3 #4: the measured value wobbles
+    ~15-35% with host/tunnel contention, which made mfu unusable for
+    round-over-round comparison).
+
+    The device's FMA throughput is a hardware constant, so a committed
+    calibration (data/vpu_roofline_calibration.json, written by
+    ``python bench.py --recalibrate``) is the denominator of record; each run
+    still measures and reports drift. A measurement ABOVE the calibration by
+    >5% means the calibration undersold the machine — it is adopted (and the
+    file should be refreshed); a measurement below is contention noise and is
+    only reported. Returns (flops_per_s | None, source, drift | None)."""
+    calib = None
+    if os.path.exists(CALIBRATION_PATH):
+        with open(CALIBRATION_PATH) as f:
+            calib = json.load(f).get("vpu_fma_flops_per_s")
+    if calib is None:
+        return measured, "measured (no calibration file)", None
+    if measured is None:
+        return calib, "calibrated (measurement failed)", None
+    drift = measured / calib - 1.0
+    if drift > 0.05:
+        return measured, "measured (exceeds calibration; refresh it)", drift
+    return calib, "calibrated", drift
+
+
+def recalibrate(jax, jnp, runs=5):
+    """Median-of-``runs`` roofline measurements -> CALIBRATION_PATH."""
+    samples = [r for r in (measure_vpu_roofline(jax, jnp) for _ in range(runs))
+               if r is not None]
+    if not samples:
+        raise RuntimeError("no usable roofline measurement")
+    samples.sort()
+    value = samples[len(samples) // 2]
+    payload = {
+        "vpu_fma_flops_per_s": value,
+        "samples": samples,
+        "method": "median of dependent-FMA-chain slope measurements "
+                  "(bench.measure_vpu_roofline); see BASELINE.md MFU "
+                  "methodology",
+    }
+    os.makedirs(os.path.dirname(CALIBRATION_PATH), exist_ok=True)
+    with open(CALIBRATION_PATH, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(f"calibrated VPU FMA roofline: {value/1e12:.2f} TFLOP/s "
+          f"(samples: {', '.join(f'{s/1e12:.2f}' for s in samples)}) "
+          f"-> {CALIBRATION_PATH}", file=sys.stderr)
+    return value
+
+
+def main(argv=None):
     import jax
 
     # persistent compilation cache: bench reruns (and driver runs) skip the slow
@@ -98,6 +162,12 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
+
+    if argv is None:
+        argv = sys.argv[1:]
+    if "--recalibrate" in argv:
+        recalibrate(jax, jnp)
+        return
 
     from self_play_racing_tpu.agent import ppo as jppo
     from self_play_racing_tpu.agent.trainer import make_single_env_hooks
@@ -204,23 +274,60 @@ def main():
     print(f"rollout: {steps*reps:,} env-steps/window, best {dt*reps:.3f}s "
           f"(windows: {', '.join(f'{d*reps:.3f}' for d in dts)})", file=sys.stderr)
 
-    # MFU: analytic flop count of this exact rollout / the VPU f32 roofline
-    # measured by this same run (self-calibrating; BASELINE.md "MFU methodology")
+    # MFU: analytic flop count of this exact rollout / the calibrated VPU f32
+    # FMA roofline (BASELINE.md "MFU methodology"). The denominator of record
+    # is the committed calibration; each run re-measures for drift detection.
     per_step_flops, breakdown = rollout_flop_count(env_cfg, pool)
     flops_per_s = per_step_flops * sps
-    vpu_peak = measure_vpu_roofline(jax, jnp)
-    mfu = flops_per_s / vpu_peak
+    measured_peak = measure_vpu_roofline(jax, jnp)
+    vpu_peak, roofline_source, drift = resolve_roofline(measured_peak)
     mlp_share = breakdown["mlp"] / per_step_flops
+    vpu_flops_per_s = (per_step_flops - breakdown["mlp"]) * sps
+    mfu = flops_per_s / vpu_peak if vpu_peak else None
+    mfu_vpu = vpu_flops_per_s / vpu_peak if vpu_peak else None
     print(f"MFU: {per_step_flops:,} flops/env-step "
           f"(raycast {breakdown['raycast']:,} / query {breakdown['track_query']:,}"
           f" / mlp {breakdown['mlp']:,}) -> {flops_per_s/1e12:.2f} TFLOP/s "
-          f"vs VPU roofline {vpu_peak/1e12:.2f} TFLOP/s = {mfu:.1%} MFU "
-          f"(MLP/MXU share {mlp_share:.1%} of flops)", file=sys.stderr)
-    # NOTE: compiled.cost_analysis() is not usable as a cross-check here — on
-    # this backend it does not accumulate while-loop trip counts, so the
-    # 256-step scan reports ~1 step's flops. The analytic count above is
-    # authoritative (and consistent: flops/s lands at the independently
-    # measured VPU roofline).
+          f"vs VPU FMA roofline {vpu_peak/1e12:.2f} TFLOP/s [{roofline_source}"
+          + (f", measured drift {drift:+.1%}" if drift is not None else "")
+          + f"] = {mfu:.1%} MFU; VPU-only split: {vpu_flops_per_s/1e12:.2f} "
+          f"TFLOP/s = {mfu_vpu:.1%} VPU-MFU, MLP/MXU share {mlp_share:.1%} "
+          f"of counted flops", file=sys.stderr)
+
+    # FLOP cross-check (VERDICT r3 #6): XLA's own cost model on a SINGLE-STEP
+    # (scan-free) compilation of the same rollout body — while-loop trip counts
+    # don't accumulate on this backend, but a scan-free step needs none. XLA
+    # counts every executed elementwise op (compares, selects, the ~24-op/pair
+    # raycast grid); the analytic count deliberately counts reference-semantic
+    # arithmetic (11/pair), so the expected ratio is ~0.4-0.5, matching the
+    # HLO op-mix analysis in docs/DESIGN.md — a drifted ratio means the
+    # compiled program changed shape out from under the analytic count.
+    xla_cost_ratio = None
+    try:
+        def one_step_program(track, params, vstate, obs, key):
+            key, akey = jax.random.split(key)
+            action, logprob, value = net.sample_action(params, log_std, obs, akey)
+            vstate, next_obs, reward, done, term, trunc, info, rec = vector.step(
+                vstate, action,
+                lambda s, a, k: hooks.transition(track, s, a, k),
+                lambda s: hooks.observe(track, s),
+                lambda k: hooks.reset(track, k),
+            )
+            return vstate, next_obs, key, reward.sum()
+
+        compiled_step = jax.jit(one_step_program).lower(
+            track, params, box[0][0], box[0][1], box[0][2]).compile()
+        ca = compiled_step.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        xla_flops = float(ca["flops"])
+        xla_cost_ratio = per_step_flops * num_envs / xla_flops
+        print(f"FLOP cross-check: XLA cost model {xla_flops/num_envs:,.0f} "
+              f"ops/env-step vs analytic {per_step_flops:,} semantic flops "
+              f"(ratio {xla_cost_ratio:.3f}; expected ~0.4-0.5 — the op-mix "
+              f"factor)", file=sys.stderr)
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print(f"FLOP cross-check unavailable: {type(e).__name__}: {e}",
+              file=sys.stderr)
 
     # secondary: full PPO training throughput (rollout + GAE + 10x16 minibatch update)
     from self_play_racing_tpu.agent.trainer import PPOTrainer
@@ -252,7 +359,12 @@ def main():
     sp_cfg = self_play_config(num_envs=num_envs, num_steps=scan_steps,
                               total_timesteps=num_envs * scan_steps * 100)
     sp_env_cfg = menv.MultiRacingConfig(num_agents=2, num_sensors=11)
-    sp = SelfPlayTrainer(sp_cfg, sp_env_cfg, track)
+    # multi-env uses EAGER per-env geometry: measured 184 vs 202 ms/update at
+    # A=2 — the tiled expansion re-derives rows inside the [N, A, ...] query/
+    # raycast consumers, costing more than the geometry traffic it saves
+    # (single-env is the opposite; docs/DESIGN.md "Geometry layouts by env")
+    sp_track = trk.gather_tracks(pool, np.arange(num_envs) % num_tracks)
+    sp = SelfPlayTrainer(sp_cfg, sp_env_cfg, sp_track)
     sp.snapshot_agent()
     sp.select_opponent()
     sp.runner, m = sp.update_step(sp.runner, sp.aux)
@@ -272,9 +384,14 @@ def main():
         "value": round(sps),
         "unit": "steps/s",
         "vs_baseline": round(sps / 1_000_000, 3),
-        "mfu": round(mfu, 4),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "mfu_vpu": round(mfu_vpu, 4) if mfu_vpu is not None else None,
+        "mxu_flop_share": round(mlp_share, 4),
         "flops_per_s": round(flops_per_s),
-        "vpu_roofline_flops_per_s": round(vpu_peak),
+        "vpu_roofline_flops_per_s": round(vpu_peak) if vpu_peak else None,
+        "roofline_source": roofline_source,
+        "roofline_drift": round(drift, 4) if drift is not None else None,
+        "xla_cost_ratio": round(xla_cost_ratio, 4) if xla_cost_ratio else None,
     }))
 
 

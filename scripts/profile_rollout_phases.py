@@ -17,7 +17,7 @@ Writes data/rollout_phase_profile.json and prints a table with each phase's
 analytic FLOP count and HBM byte traffic so phases can be judged against their
 own bound (compute vs bandwidth), not a single global roofline.
 
-    python scripts/profile_rollout_phases.py [--envs 4096] [--grouped]
+    python scripts/profile_rollout_phases.py [--envs 4096] [--layout tiled|eager|grouped]
 """
 from __future__ import annotations
 
@@ -72,10 +72,15 @@ def slope_time(make_scan, *args):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--envs", type=int, default=4096)
+    p.add_argument("--layout", choices=["tiled", "eager", "grouped"],
+                   default="tiled",
+                   help="geometry layout (tiled = the production default)")
     p.add_argument("--grouped", action="store_true",
-                   help="profile the grouped pool-resident geometry layout")
+                   help="alias for --layout grouped")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
+    if args.grouped:
+        args.layout = "grouped"
 
     N = args.envs
     num_tracks = 16
@@ -86,10 +91,12 @@ def main(argv=None):
     widths = [float(np.random.RandomState(i).randint(6, 10))
               for i in range(num_tracks)]
     pool = trk.make_track_pool(cps, widths, dtype=jnp.float32)
-    if args.grouped:
+    if args.layout == "grouped":
         assert N % num_tracks == 0
         track = trk.grouped_pooled_tracks(pool, np.arange(num_tracks),
                                           N // num_tracks)
+    elif args.layout == "tiled":
+        track = trk.tiled_pooled_tracks(pool, N)
     else:
         track = trk.gather_tracks(pool, np.arange(N) % num_tracks)
     env_cfg = senv.RacingConfig(num_sensors=11)
@@ -346,8 +353,9 @@ def main(argv=None):
         "dynamics": 60,
         "plumbing": 40,
     }
-    geom_bytes = 0 if args.grouped else 5 * S * 4  # per-env per-step segment reads
-    query_bytes = 0 if args.grouped else 4 * W * 4
+    pool_resident = args.layout in ("tiled", "grouped")
+    geom_bytes = 0 if pool_resident else 5 * S * 4  # per-env segment reads
+    query_bytes = 0 if pool_resident else 4 * W * 4
     bytes_per_step = {
         "raycast": geom_bytes + R * 4,
         "query": query_bytes + 8,
@@ -390,7 +398,7 @@ def main(argv=None):
                        "isolated slope-timed scans + monkeypatched ablations "
                        "of the exact bench program. "
                        "scripts/profile_rollout_phases.py",
-        "num_envs": N, "grouped": bool(args.grouped),
+        "num_envs": N, "layout": args.layout,
         "us_per_step": {k: v * 1e6 for k, v in results.items()},
         "flops_per_env_step": flops,
         "hbm_bytes_per_env_step": bytes_per_step,
