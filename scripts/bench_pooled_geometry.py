@@ -52,6 +52,8 @@ def make_layout(pool, num_envs, layout):
         assert num_envs % NUM_TRACKS == 0
         return trk.grouped_pooled_tracks(pool, np.arange(NUM_TRACKS),
                                          num_envs // NUM_TRACKS)
+    if layout == "tiled":
+        return trk.tiled_pooled_tracks(pool, num_envs)
     raise ValueError(layout)
 
 
@@ -91,13 +93,17 @@ def main(argv=None):
     print(f"device: {device}", file=sys.stderr)
     grid = [
         (4096, 256, "eager"), (4096, 256, "gather"), (4096, 256, "grouped"),
+        (4096, 256, "tiled"),
         (65536, 256, "eager"), (65536, 256, "gather"), (65536, 256, "grouped"),
+        (65536, 256, "tiled"),
     ]
     if not args.quick:
-        # capacity frontier: short rollouts so geometry (not buffers) binds
+        # capacity frontier: short rollouts so geometry (not buffers) binds;
+        # 589824 is the fits-only-pooled regime (eager OOMs — that row's
+        # RESOURCE_EXHAUSTED is the capacity claim's evidence)
         grid += [
-            (262144, 64, "eager"), (262144, 64, "grouped"),
-            (393216, 64, "eager"), (393216, 64, "grouped"),
+            (262144, 64, "eager"), (262144, 64, "grouped"), (262144, 64, "tiled"),
+            (589824, 64, "eager"), (589824, 64, "grouped"), (589824, 64, "tiled"),
         ]
     rows = []
     for num_envs, num_steps, layout in grid:

@@ -145,16 +145,25 @@ def observe(cfg: MultiRacingConfig, track: TrackArrays, state: MultiState) -> jn
     rel = jnp.asarray(cfg.sensor_angles(), dtype)                    # [R]
     world = state.angle[:, :, None] + rel[None, None, :]             # [N, A, R]
 
-    # walls: [N, A, R] rays vs [N, 1, 1, S] segments
-    wall = geo.raycast_walls(
-        jnp.broadcast_to(state.x[:, :, None], world.shape),
-        jnp.broadcast_to(state.y[:, :, None], world.shape),
-        jnp.cos(world), jnp.sin(world),
-        track.seg_sx[:, None, None, :], track.seg_sy[:, None, None, :],
-        track.seg_vx[:, None, None, :], track.seg_vy[:, None, None, :],
-        cfg.max_sensor_range,
-        seg_c=track.seg_c[:, None, None, :],
-    )
+    # walls: one rank-3 [N, R, S] raycast per agent seat (static unroll). The
+    # rank-4 [N, A, R, S] form drops the raycast's two-payload reduce out of
+    # fusion even below the element threshold (measured +136 us/step at A=2,
+    # 4096 envs), while per-agent rank-3 calls each fuse like the single-env
+    # path — and raycast_walls batch-chunks internally at extreme env counts.
+    nr = (n, world.shape[-1])
+    per_agent = [
+        geo.raycast_walls(
+            jnp.broadcast_to(state.x[:, ai, None], nr),
+            jnp.broadcast_to(state.y[:, ai, None], nr),
+            jnp.cos(world[:, ai, :]), jnp.sin(world[:, ai, :]),
+            track.seg_sx[:, None, :], track.seg_sy[:, None, :],
+            track.seg_vx[:, None, :], track.seg_vy[:, None, :],
+            cfg.max_sensor_range,
+            seg_c=track.seg_c[:, None, :],
+        )
+        for ai in range(a)
+    ]
+    wall = jnp.stack(per_agent, axis=1)                              # [N, A, R]
     # cars: every ray sees every car's rectangle; cars whose center is within 0.5 of
     # the ray origin are skipped (self-exclusion approximation, multi_track.py:12-14)
     ccx, ccy = geo.car_corners(state.x, state.y, state.angle,

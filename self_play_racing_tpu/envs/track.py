@@ -175,19 +175,89 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
-def make_track_pool(control_points_list, track_widths, dtype=jnp.float32, pad_multiple=128):
+def _decimate_boundary(pts, out_nrm, lod):
+    """Closed chord decimation of one boundary polyline with CONSERVATIVE
+    outward vertex offsets: every kept vertex moves outward (along its waypoint
+    normal) by the largest outward bulge of the skipped vertices on its two
+    adjacent chords, so the LOD polyline contains the true wall — near-wall
+    rays shorten slightly (by <= the local sagitta) instead of flipping to a
+    max-range miss when the car sits between a chord and the real boundary.
+
+    pts: [n, 2] boundary vertices in track order; out_nrm: [n, 2] outward
+    normals; lod: decimation stride. Returns the decimated vertices [m, 2].
+    """
+    n = len(pts)
+    idx = np.arange(0, n, lod)
+    m = len(idx)
+    chord_dev = np.zeros(m)
+    for j in range(m):
+        lo = idx[j]
+        hi = idx[(j + 1) % m]
+        a = pts[lo]
+        b = pts[hi]
+        span = (np.arange(lo + 1, lo + lod) % n) if (hi - lo) % n else []
+        if len(span) == 0:
+            continue
+        c = b - a
+        norm = np.hypot(*c)
+        if norm < 1e-12:
+            continue
+        # outward normal of the chord: consistent with the boundary's own
+        # outward direction at its start vertex
+        cn = np.array([-c[1], c[0]]) / norm
+        if np.dot(cn, out_nrm[lo]) < 0:
+            cn = -cn
+        dev = (pts[span] - a) @ cn
+        chord_dev[j] = max(0.0, float(dev.max()))
+    vert_off = np.maximum(chord_dev, np.roll(chord_dev, 1))  # adjacent chords
+    return pts[idx] + out_nrm[idx] * vert_off[:, None]
+
+
+def make_track_pool(control_points_list, track_widths, dtype=jnp.float32, pad_multiple=128,
+                    sensor_lod=1):
     """Build a stacked padded TrackArrays pool from per-track control points + widths.
 
     ``track_widths`` may be a scalar (shared) or a per-track sequence. Waypoint padding
     is rounded up to ``pad_multiple`` (TPU lane alignment); segment padding is 2x that.
+
+    ``sensor_lod`` (opt-in RELAXED SENSING, default 1 = exact reference
+    semantics): with lod k > 1, the raycast SEGMENT arrays are rebuilt as
+    closed chords through every kth boundary vertex — the boundary polyline the
+    sensors see is a k x coarser level-of-detail of the same walls, cutting the
+    [rays, segments] raycast grid (the dominant cost at high agent counts) by
+    ~k x. The chord error is bounded by the boundary's sagitta over k waypoint
+    spacings (sub-0.1 units at k <= 4 on generated tracks vs track widths
+    6-10). ONLY sensing changes: waypoints/normals — and therefore progress,
+    rewards, wall collision, termination — stay bit-exact to the reference
+    (track.py:159-171). This is a documented divergence from
+    /root/reference/environment/track.py:126-148 (which always raycasts the
+    full-resolution boundary); quantified in data/relaxed_sensing.json.
     """
     k = len(control_points_list)
     if np.isscalar(track_widths):
         track_widths = [track_widths] * k
     geoms = [build_track_geometry(cp, w) for cp, w in zip(control_points_list, track_widths)]
+    lod = int(sensor_lod)
+    if lod > 1:
+        for g in geoms:
+            n = g["n_wp"]
+            starts = g["seg_start"]                     # [2n, 2]: left then right
+            nrm = g["normals"]                          # [n, 2] (+n = left side)
+            out = []
+            for pts, sign in ((starts[:n], 1.0), (starts[n:], -1.0)):
+                out.append(_decimate_boundary(pts, sign * nrm, lod))
+            dl, dr = out
+            dec_start = np.vstack([dl, dr])
+            dec_end = np.vstack([np.roll(dl, -1, axis=0), np.roll(dr, -1, axis=0)])
+            g["seg_start"] = dec_start
+            g["seg_vec"] = dec_end - dec_start
+            g["n_seg"] = len(dec_start)
+    else:
+        for g in geoms:
+            g["n_seg"] = 2 * g["n_wp"]
 
     w_pad = _round_up(max(g["n_wp"] for g in geoms), pad_multiple)
-    s_pad = _round_up(2 * max(g["n_wp"] for g in geoms), pad_multiple)
+    s_pad = _round_up(max(g["n_seg"] for g in geoms), pad_multiple)
 
     def pad_wp(arr, fill):
         out = np.full((w_pad,), fill, dtype=np.float64)

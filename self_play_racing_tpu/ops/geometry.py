@@ -61,9 +61,12 @@ def raycast_walls(ox, oy, dx, dy, seg_sx, seg_sy, seg_vx, seg_vy, max_dist,
     # Above ~_RAYCAST_CHUNK_ELEMS grid elements XLA stops fusing the two-payload
     # reduce's elementwise producers (the same variadic-reduce fusion cliff as
     # envs/multi.py:_QUERY_MERGE_THRESHOLD — [4096, 2, 11, 896] measured 629 vs
-    # an expected ~380 us/step), so the segment axis is split into static
-    # chunks, each its own fully-fused reduce, combined by the same comparator
-    # on the tiny per-chunk winners.
+    # an expected ~380 us/step). The grid is therefore split along the LEADING
+    # BATCH axis into static chunks, each its own fully-fused reduce, results
+    # concatenated. Batch-axis chunking (not segment-axis): segments are the
+    # minor/lane dimension, and sub-128 segment slices waste most of each
+    # (8, 128) vector tile (measured 3.8 s/update at 65536 envs with ~60-wide
+    # segment chunks vs ~1.4 s with whole-segment batch chunks).
     if seg_c is None:
         seg_c = seg_vy * seg_sx - seg_vx * seg_sy
 
@@ -72,17 +75,12 @@ def raycast_walls(ox, oy, dx, dy, seg_sx, seg_sy, seg_vx, seg_vy, max_dist,
     s_total = seg_sx.shape[-1]
     grid = int(np.prod(batch_shape, dtype=np.int64)) * s_total
     n_chunks = max(1, -(-grid // _RAYCAST_CHUNK_ELEMS))
-    chunk = -(-s_total // n_chunks)
 
-    u = ox * dy - oy * dx
-
-    def one_chunk(lo, hi):
-        sx, sy = seg_sx[..., lo:hi], seg_sy[..., lo:hi]
-        vx, vy = seg_vx[..., lo:hi], seg_vy[..., lo:hi]
-        sc = seg_c[..., lo:hi]
-        cn = oy[..., None] * vx - ox[..., None] * vy + sc
-        dotp = vy * dx[..., None] - vx * dy[..., None]
-        sn = sx * dy[..., None] - sy * dx[..., None] - u[..., None]
+    def compute(ox, oy, dx, dy, seg_sx, seg_sy, seg_vx, seg_vy, seg_c):
+        u = ox * dy - oy * dx
+        cn = oy[..., None] * seg_vx - ox[..., None] * seg_vy + seg_c
+        dotp = seg_vy * dx[..., None] - seg_vx * dy[..., None]
+        sn = seg_sx * dy[..., None] - seg_sy * dx[..., None] - u[..., None]
         d = jnp.abs(dotp)
         hit = ((d > _PARALLEL_EPS) & (cn * dotp >= 0.0) & (sn * dotp >= 0.0)
                & (jnp.abs(sn) <= d))
@@ -90,17 +88,43 @@ def raycast_walls(ox, oy, dx, dy, seg_sx, seg_sy, seg_vx, seg_vy, max_dist,
         # 1, not 0: inf*0 = NaN would poison the reduce
         dkey = jnp.where(hit, d, 1.0)
         init = (jnp.asarray(jnp.inf, akey.dtype), jnp.asarray(1.0, dkey.dtype))
-        return jax.lax.reduce((akey, dkey), init, _ratio_min_reducer,
-                              (akey.ndim - 1,))
+        amin, dmin = jax.lax.reduce((akey, dkey), init, _ratio_min_reducer,
+                                    (akey.ndim - 1,))
+        tmin = amin / dmin
+        return jnp.where(jnp.isinf(tmin), jnp.asarray(max_dist, tmin.dtype),
+                         tmin)
 
-    amin, dmin = one_chunk(0, min(chunk, s_total))
-    for lo in range(chunk, s_total, chunk):
-        ca, cd = one_chunk(lo, min(lo + chunk, s_total))
-        take = ca * dmin < amin * cd
-        amin = jnp.where(take, ca, amin)
-        dmin = jnp.where(take, cd, dmin)
-    tmin = amin / dmin
-    return jnp.where(jnp.isinf(tmin), jnp.asarray(max_dist, tmin.dtype), tmin)
+    b0 = batch_shape[0] if batch_shape else 1
+    if n_chunks <= 1 or b0 < 2 * n_chunks:
+        return compute(ox, oy, dx, dy, seg_sx, seg_sy, seg_vx, seg_vy, seg_c)
+
+    # Chunked path: slice the LEADING batch axis (envs) into static chunks,
+    # each its own fully-fused rank-3 reduce, results concatenated. Leading-
+    # axis slicing (not segment slicing: sub-128 segment chunks starve the
+    # (8, 128) lane tiles — measured 3.8 s/update at 65536 envs; not a
+    # flatten-to-2D: reshaping the broadcast seg operands materializes them,
+    # measured 16.6 ms/step). Callers with extra batch dims (the multi env)
+    # keep every per-call grid rank-3 by looping the agent axis instead
+    # (envs/multi.py).
+    step = -(-b0 // n_chunks)
+
+    def sl(arr, lo, hi, seg=False):
+        # slice axis 0 when the operand actually spans the batch axis; size-1
+        # (or missing) leading dims broadcast into every chunk untouched
+        want_ndim = len(batch_shape) + (1 if seg else 0)
+        if arr.ndim == want_ndim and arr.shape[0] == b0:
+            return arr[lo:hi]
+        return arr
+
+    outs = []
+    for lo in range(0, b0, step):
+        hi = min(lo + step, b0)
+        outs.append(compute(
+            sl(ox, lo, hi), sl(oy, lo, hi), sl(dx, lo, hi), sl(dy, lo, hi),
+            sl(seg_sx, lo, hi, True), sl(seg_sy, lo, hi, True),
+            sl(seg_vx, lo, hi, True), sl(seg_vy, lo, hi, True),
+            sl(seg_c, lo, hi, True)))
+    return jnp.concatenate(outs, axis=0)
 
 
 # Two-payload-reduce fusion cliff (v5e-measured): [4096, 11, 896] = 40.4M grid

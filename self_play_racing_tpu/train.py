@@ -107,7 +107,7 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
                 num_updates=None, checkpoint_dir="models/scale",
                 checkpoint_every=200, resume_from=None, num_agents=2,
                 resample_tracks_every=0, track_points=12, pooled_geometry=False,
-                **cfg_overrides):
+                sensor_lod=1, **cfg_overrides):
     """Scale-mode self-play: resident env state, per-env opponents, big batch.
 
     The TPU-native generalization beyond the reference's 16-env parity config
@@ -161,6 +161,9 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
             return trk.pooled_tracks(pool, env_ids)
         return trk.gather_tracks(pool, env_ids)
     if resample_tracks_every:
+        if sensor_lod != 1:
+            raise ValueError("--sensor-lod requires the host-side pool "
+                             "(incompatible with --resample-tracks-every)")
         import jax
 
         from .envs import procgen as pg
@@ -185,7 +188,7 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
         print(f"Generating {num_tracks}-track pool (tiled over {cfg.num_envs} envs)")
         cps = trk.gen_tracks(num_tracks=num_tracks, seed=cfg.seed)
         widths = [float(np.random.randint(6, 10)) for _ in range(num_tracks)]
-        pool = trk.make_track_pool(cps, widths)
+        pool = trk.make_track_pool(cps, widths, sensor_lod=sensor_lod)
         track = track_view(pool)
     env_cfg = menv.MultiRacingConfig(num_agents=num_agents, num_sensors=11)
 
@@ -312,6 +315,15 @@ def main(argv=None):
                    help="scale/multi modes: prioritized fictitious self-play — "
                         "sample pool opponents by (1-winrate)^2 instead of "
                         "uniformly, from training-rollout outcomes")
+    p.add_argument("--sensor-lod", type=int, default=None, metavar="K",
+                   help="scale mode: RELAXED SENSING (documented divergence "
+                        "from the reference, default off) — raycast against a "
+                        "K-x coarser chord approximation of the boundary. "
+                        "Progress/rewards/collision stay exact; only the "
+                        "sensor rays see the LOD walls. Cuts the dominant "
+                        "raycast cost ~K-x at high agent counts "
+                        "(data/relaxed_sensing.json quantifies speed + "
+                        "behavioral equivalence)")
     args = p.parse_args(argv)
     kw = {}
     if args.seed is not None:
@@ -336,6 +348,8 @@ def main(argv=None):
             skw["resample_tracks_every"] = args.resample_tracks_every
         if args.pooled_geometry:
             skw["pooled_geometry"] = args.pooled_geometry
+        if args.sensor_lod:
+            skw["sensor_lod"] = args.sensor_lod
         train_scale(num_updates=args.num_updates, resume_from=args.resume, **skw)
     if args.mode in ("sb3", "all"):
         train_single_baseline(args.total_timesteps, **kw)

@@ -1,0 +1,80 @@
+"""Opt-in relaxed sensing (sensor LOD): decimated raycast segments.
+
+Default (lod=1) must stay bit-exact reference semantics; lod>1 changes ONLY
+the segment arrays the sensors see — waypoints/normals (progress, rewards,
+collision) are untouched — and the chord approximation error on observations
+must be small relative to track scale.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from self_play_racing_tpu.envs import single as senv
+from self_play_racing_tpu.envs import track as trk
+
+
+def _pools(lod):
+    np.random.seed(1)
+    cps = trk.gen_tracks(4, seed=1)
+    widths = [7.0, 8.0, 9.0, 6.0]
+    np.random.seed(1)
+    exact = trk.make_track_pool(cps, widths)
+    np.random.seed(1)
+    relaxed = trk.make_track_pool(cps, widths, sensor_lod=lod)
+    return exact, relaxed
+
+
+def test_lod1_is_identity():
+    exact, relaxed = _pools(1)
+    for a, b in zip(jax.tree.leaves(exact), jax.tree.leaves(relaxed)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_lod_shrinks_only_segments():
+    exact, relaxed = _pools(4)
+    assert relaxed.seg_sx.shape[-1] < exact.seg_sx.shape[-1]
+    # everything except seg_* is untouched: progress/reward machinery exact
+    for name in ("wp_x", "wp_y", "nrm_x", "nrm_y", "n_wp", "track_width",
+                 "max_track_distance", "start_x", "start_y", "start_angle"):
+        np.testing.assert_array_equal(np.asarray(getattr(exact, name)),
+                                      np.asarray(getattr(relaxed, name)))
+
+
+def test_lod_observation_error_is_small():
+    """Rays against the LOD boundary stay close to exact in distribution. The
+    outward-offset chords bound the TYPICAL error by the local sagitta
+    (sub-unit vs 6-10 unit track widths); rays near-tangent to a wall are
+    inherently chaotic under any coarsening (a grazing hit can become a miss),
+    so the contract is quantile-based: the error mass must be tiny, with only
+    a grazing tail allowed."""
+    exact, relaxed = _pools(4)
+    n = 64
+    cfg = senv.RacingConfig(num_sensors=11)
+    te = trk.gather_tracks(exact, np.arange(n) % 4)
+    tr_ = trk.gather_tracks(relaxed, np.arange(n) % 4)
+    state, _ = jax.jit(lambda t: senv.reset(cfg, t))(te)
+    rng = np.random.RandomState(0)
+    se = state
+    step = jax.jit(lambda t, s, a: senv.step(cfg, t, s, a))
+    obs_fn = jax.jit(lambda t, s: senv.observe(cfg, t, s))
+    errs = []
+    for _ in range(50):
+        a = jnp.asarray(rng.uniform([-1, 0], [1, 1], (n, 2)), jnp.float32)
+        se, obs_e, *_ = step(te, se, a)
+        obs_r = obs_fn(tr_, se)  # same states, relaxed sensors
+        errs.append(np.abs(np.asarray(obs_e[:, :11] - obs_r[:, :11])) * 50.0)
+    errs = np.concatenate([e.ravel() for e in errs])
+    mean, p99, frac_big = errs.mean(), np.percentile(errs, 99), (errs > 2).mean()
+    assert mean < 0.2, f"mean LOD ray error {mean:.3f} units"
+    assert p99 < 2.0, f"p99 LOD ray error {p99:.3f} units"
+    assert frac_big < 0.01, f"{frac_big:.2%} of rays off by >2 units (grazing tail)"
+
+
+def test_lod_incompatible_with_device_resampling():
+    from self_play_racing_tpu.train import train_scale
+
+    with pytest.raises(ValueError, match="sensor-lod"):
+        train_scale(total_timesteps=8 * 16 * 2, num_envs=8, num_steps=16,
+                    num_tracks=2, resample_tracks_every=1, sensor_lod=4)
