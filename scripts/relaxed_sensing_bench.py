@@ -1,0 +1,160 @@
+"""Relaxed sensing (--sensor-lod) artifact: speedup AND behavioral equivalence.
+
+VERDICT r3 #7: the exact wall raycast is the A=8 flop wall; a relaxed
+(coarsened) sensing mode can break it IF the behavior transfers. This script
+quantifies both sides into data/relaxed_sensing.json:
+
+1. SPEED — full A=8 self-play update (the raycast-dominated operating point)
+   at sensor_lod 1 / 2 / 4 on the canonical pinned pool.
+2. BEHAVIOR — two same-budget scale trainings (A=2, 50M steps) at lod=1 and
+   lod=4, both evaluated on the EXACT-sensing held-out 40x5 grid (seed 42):
+   an agent trained on LOD walls must still drive real walls.
+3. OBS ERROR — ray-error distribution (mean / p99 / >2-unit tail) between
+   exact and LOD sensors over on-policy-ish random rollouts.
+
+  python scripts/relaxed_sensing_bench.py [--skip-train]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+
+from self_play_racing_tpu.agent.ppo import unpack_metrics
+from self_play_racing_tpu.agent.self_play import SelfPlayTrainer
+from self_play_racing_tpu.configs import self_play_config
+from self_play_racing_tpu.envs import multi as menv
+from self_play_racing_tpu.envs import single as senv
+from self_play_racing_tpu.envs import track as trk
+
+NUM_ENVS, NUM_STEPS, NUM_TRACKS = 4096, 128, 16
+
+
+def canonical_pool(lod):
+    np.random.seed(1)
+    cps = trk.gen_tracks(NUM_TRACKS, seed=1)
+    widths = [float(np.random.RandomState(i).randint(6, 10))
+              for i in range(NUM_TRACKS)]
+    return trk.make_track_pool(cps, widths, dtype=jnp.float32, sensor_lod=lod)
+
+
+def speed_row(lod, num_agents=8):
+    pool = canonical_pool(lod)
+    track = trk.gather_tracks(pool, np.arange(NUM_ENVS) % NUM_TRACKS)
+    cfg = self_play_config(num_envs=NUM_ENVS, num_steps=NUM_STEPS,
+                           total_timesteps=NUM_ENVS * NUM_STEPS * 100,
+                           opponent_per_env=True, reset_envs_each_update=False)
+    tr = SelfPlayTrainer(
+        cfg, menv.MultiRacingConfig(num_agents=num_agents, num_sensors=11),
+        track)
+    tr.snapshot_agent()
+    tr.select_opponent()
+    tr.runner, m = tr.update_step(tr.runner, tr.aux)
+    unpack_metrics(m)
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            tr.runner, m = tr.update_step(tr.runner, tr.aux)
+        unpack_metrics(m)
+        dts.append((time.perf_counter() - t0) / 3)
+    d = min(dts)
+    row = {"sensor_lod": lod, "num_agents": num_agents,
+           "segments": int(pool.seg_sx.shape[-1]),
+           "ms_per_update": d * 1e3,
+           "env_steps_per_s": cfg.batch_size / d,
+           "agent_steps_per_s": cfg.batch_size * num_agents / d}
+    print(json.dumps(row), file=sys.stderr)
+    return row
+
+
+def obs_error_stats(lod):
+    exact = canonical_pool(1)
+    relaxed = canonical_pool(lod)
+    n = 512
+    cfg = senv.RacingConfig(num_sensors=11)
+    te = trk.gather_tracks(exact, np.arange(n) % NUM_TRACKS)
+    tl = trk.gather_tracks(relaxed, np.arange(n) % NUM_TRACKS)
+    state, _ = jax.jit(lambda t: senv.reset(cfg, t))(te)
+    step = jax.jit(lambda t, s, a: senv.step(cfg, t, s, a))
+    obs_fn = jax.jit(lambda t, s: senv.observe(cfg, t, s))
+    rng = np.random.RandomState(0)
+    errs = []
+    se = state
+    for _ in range(100):
+        a = jnp.asarray(rng.uniform([-1, 0], [1, 1], (n, 2)), jnp.float32)
+        se, obs_e, *_ = step(te, se, a)
+        obs_l = obs_fn(tl, se)
+        errs.append(np.abs(np.asarray(obs_e[:, :11] - obs_l[:, :11])) * 50.0)
+    e = np.concatenate([x.ravel() for x in errs])
+    return {"sensor_lod": lod, "mean": float(e.mean()),
+            "p99": float(np.percentile(e, 99)),
+            "frac_over_2_units": float((e > 2).mean()),
+            "max": float(e.max())}
+
+
+def behavior_leg(lod, budget=50_000_000, tmpdir="/tmp/relaxed_sensing"):
+    from self_play_racing_tpu.evaluate import evaluate_multi_agent_overall
+    from self_play_racing_tpu.train import train_scale
+    from self_play_racing_tpu.utils.metrics import build_eval_grid
+
+    os.makedirs(tmpdir, exist_ok=True)
+    out = os.path.join(tmpdir, f"agent_lod{lod}.npz")
+    info = os.path.join(tmpdir, f"info_lod{lod}.json")
+    t0 = time.perf_counter()
+    train_scale(total_timesteps=budget, num_envs=NUM_ENVS, num_steps=NUM_STEPS,
+                num_tracks=NUM_TRACKS, out=out, info_out=info,
+                checkpoint_dir=os.path.join(tmpdir, f"ck{lod}"),
+                checkpoint_every=10**9, sensor_lod=lod)
+    wall = time.perf_counter() - t0
+    # held-out EXACT-sensing grid — both agents face the true walls
+    grid = build_eval_grid(num_tracks=40, num_runs=5, seed=42)
+    res = evaluate_multi_agent_overall(grid, out)
+    return {"sensor_lod": lod, "train_steps": budget,
+            "train_wall_s": wall,
+            "exact_grid_success_rate": res.get("success_rate"),
+            "exact_grid_crash_rate": res.get("crash_rate"),
+            "exact_grid_avg_speed": res.get("avg_speed")}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--skip-train", action="store_true")
+    p.add_argument("--budget", type=int, default=50_000_000)
+    args = p.parse_args(argv)
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    payload = {
+        "description": "Opt-in relaxed sensing (make_track_pool sensor_lod): "
+                       "chord-LOD sensor walls with conservative outward "
+                       "offsets. Speed at the A=8 raycast-wall operating "
+                       "point; behavioral transfer = same-budget trainings "
+                       "evaluated on the EXACT-sensing held-out grid. "
+                       "scripts/relaxed_sensing_bench.py",
+        "speed_a8": [speed_row(lod) for lod in (1, 2, 4)],
+        "obs_error": [obs_error_stats(lod) for lod in (2, 4)],
+    }
+    if not args.skip_train:
+        payload["behavior"] = [behavior_leg(1, args.budget),
+                               behavior_leg(4, args.budget)]
+    out = os.path.join(ROOT, "data", "relaxed_sensing.json")
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -149,7 +149,7 @@ def observe(cfg: MultiRacingConfig, track: TrackArrays, state: MultiState) -> jn
     # rank-4 [N, A, R, S] form drops the raycast's two-payload reduce out of
     # fusion even below the element threshold (measured +136 us/step at A=2,
     # 4096 envs), while per-agent rank-3 calls each fuse like the single-env
-    # path — and raycast_walls batch-chunks internally at extreme env counts.
+    # path (geometry.py's rank-3 shape contract; fuses at any batch size).
     nr = (n, world.shape[-1])
     per_agent = [
         geo.raycast_walls(

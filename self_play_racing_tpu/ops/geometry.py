@@ -16,8 +16,6 @@ All functions broadcast over arbitrary leading batch dims.
 """
 from __future__ import annotations
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 
@@ -58,79 +56,35 @@ def raycast_walls(ox, oy, dx, dy, seg_sx, seg_sy, seg_vx, seg_vy, max_dist,
     # the sign-agreement products underflow to +-0 only when |cn*dotp| or
     # |sn*dotp| < ~1e-45 with |dotp| > eps, i.e. |cn| or |sn| < ~1e-35.
     #
-    # Above ~_RAYCAST_CHUNK_ELEMS grid elements XLA stops fusing the two-payload
-    # reduce's elementwise producers (the same variadic-reduce fusion cliff as
-    # envs/multi.py:_QUERY_MERGE_THRESHOLD — [4096, 2, 11, 896] measured 629 vs
-    # an expected ~380 us/step). The grid is therefore split along the LEADING
-    # BATCH axis into static chunks, each its own fully-fused reduce, results
-    # concatenated. Batch-axis chunking (not segment-axis): segments are the
-    # minor/lane dimension, and sub-128 segment slices waste most of each
-    # (8, 128) vector tile (measured 3.8 s/update at 65536 envs with ~60-wide
-    # segment chunks vs ~1.4 s with whole-segment batch chunks).
+    # SHAPE CONTRACT (v5e-measured): keep the [batch, rays, segments] grid
+    # RANK-3. The two-payload reduce fuses its producers at every rank-3 size
+    # tested (646M elements at 65536 envs: 2950 us/step vs 3880 for the old
+    # reciprocal form), but a rank-4 [N, A, R, S] grid falls out of fusion
+    # even at half that size (+136 us/step at [4096, 2, 11, 896]) — callers
+    # with an agent axis make one rank-3 call per agent instead
+    # (envs/multi.py). Chunking schemes all measured worse and were removed:
+    # segment-axis chunks starve the (8, 128) lane tiles (3.8 s/update at
+    # 65536 envs), batch-axis chunks break the surrounding fusions (6.8 vs
+    # 2.95 ms/step at 65536), and flattening the broadcast operands to 2-D
+    # materializes them (16.6 ms/step at 4096x2).
     if seg_c is None:
         seg_c = seg_vy * seg_sx - seg_vx * seg_sy
+    u = ox * dy - oy * dx
+    cn = oy[..., None] * seg_vx - ox[..., None] * seg_vy + seg_c
+    dotp = seg_vy * dx[..., None] - seg_vx * dy[..., None]
+    sn = seg_sx * dy[..., None] - seg_sy * dx[..., None] - u[..., None]
+    d = jnp.abs(dotp)
+    hit = ((d > _PARALLEL_EPS) & (cn * dotp >= 0.0) & (sn * dotp >= 0.0)
+           & (jnp.abs(sn) <= d))
+    akey = jnp.where(hit, jnp.abs(cn), jnp.inf)
+    # 1, not 0: inf*0 = NaN would poison the reduce
+    dkey = jnp.where(hit, d, 1.0)
+    init = (jnp.asarray(jnp.inf, akey.dtype), jnp.asarray(1.0, dkey.dtype))
+    amin, dmin = jax.lax.reduce((akey, dkey), init, _ratio_min_reducer,
+                                (akey.ndim - 1,))
+    tmin = amin / dmin
+    return jnp.where(jnp.isinf(tmin), jnp.asarray(max_dist, tmin.dtype), tmin)
 
-    batch_shape = jnp.broadcast_shapes(
-        ox.shape, oy.shape, dx.shape, dy.shape, seg_sx.shape[:-1])
-    s_total = seg_sx.shape[-1]
-    grid = int(np.prod(batch_shape, dtype=np.int64)) * s_total
-    n_chunks = max(1, -(-grid // _RAYCAST_CHUNK_ELEMS))
-
-    def compute(ox, oy, dx, dy, seg_sx, seg_sy, seg_vx, seg_vy, seg_c):
-        u = ox * dy - oy * dx
-        cn = oy[..., None] * seg_vx - ox[..., None] * seg_vy + seg_c
-        dotp = seg_vy * dx[..., None] - seg_vx * dy[..., None]
-        sn = seg_sx * dy[..., None] - seg_sy * dx[..., None] - u[..., None]
-        d = jnp.abs(dotp)
-        hit = ((d > _PARALLEL_EPS) & (cn * dotp >= 0.0) & (sn * dotp >= 0.0)
-               & (jnp.abs(sn) <= d))
-        akey = jnp.where(hit, jnp.abs(cn), jnp.inf)
-        # 1, not 0: inf*0 = NaN would poison the reduce
-        dkey = jnp.where(hit, d, 1.0)
-        init = (jnp.asarray(jnp.inf, akey.dtype), jnp.asarray(1.0, dkey.dtype))
-        amin, dmin = jax.lax.reduce((akey, dkey), init, _ratio_min_reducer,
-                                    (akey.ndim - 1,))
-        tmin = amin / dmin
-        return jnp.where(jnp.isinf(tmin), jnp.asarray(max_dist, tmin.dtype),
-                         tmin)
-
-    b0 = batch_shape[0] if batch_shape else 1
-    if n_chunks <= 1 or b0 < 2 * n_chunks:
-        return compute(ox, oy, dx, dy, seg_sx, seg_sy, seg_vx, seg_vy, seg_c)
-
-    # Chunked path: slice the LEADING batch axis (envs) into static chunks,
-    # each its own fully-fused rank-3 reduce, results concatenated. Leading-
-    # axis slicing (not segment slicing: sub-128 segment chunks starve the
-    # (8, 128) lane tiles — measured 3.8 s/update at 65536 envs; not a
-    # flatten-to-2D: reshaping the broadcast seg operands materializes them,
-    # measured 16.6 ms/step). Callers with extra batch dims (the multi env)
-    # keep every per-call grid rank-3 by looping the agent axis instead
-    # (envs/multi.py).
-    step = -(-b0 // n_chunks)
-
-    def sl(arr, lo, hi, seg=False):
-        # slice axis 0 when the operand actually spans the batch axis; size-1
-        # (or missing) leading dims broadcast into every chunk untouched
-        want_ndim = len(batch_shape) + (1 if seg else 0)
-        if arr.ndim == want_ndim and arr.shape[0] == b0:
-            return arr[lo:hi]
-        return arr
-
-    outs = []
-    for lo in range(0, b0, step):
-        hi = min(lo + step, b0)
-        outs.append(compute(
-            sl(ox, lo, hi), sl(oy, lo, hi), sl(dx, lo, hi), sl(dy, lo, hi),
-            sl(seg_sx, lo, hi, True), sl(seg_sy, lo, hi, True),
-            sl(seg_vx, lo, hi, True), sl(seg_vy, lo, hi, True),
-            sl(seg_c, lo, hi, True)))
-    return jnp.concatenate(outs, axis=0)
-
-
-# Two-payload-reduce fusion cliff (v5e-measured): [4096, 11, 896] = 40.4M grid
-# elements fuses fully; [4096, 2, 11, 896] = 80.7M does not (XLA materializes
-# the reduce operands). Chunks are sized to stay under the fused regime.
-_RAYCAST_CHUNK_ELEMS = 44_000_000
 
 
 def _ratio_min_reducer(p, q):
