@@ -221,10 +221,12 @@ def main(argv=None):
     cps = trk.gen_tracks(num_tracks, seed=1)
     widths = [float(np.random.RandomState(i).randint(6, 10)) for i in range(num_tracks)]
     pool = trk.make_track_pool(cps, widths, dtype=jnp.float32)
-    # pool-resident tiled layout: identical env->track assignment (arange % T)
-    # and bit-identical outputs to the eager gather, with O(tracks) geometry
-    # HBM traffic — the production default (envs/track.py:TiledPooledTracks)
-    track = trk.tiled_pooled_tracks(pool, num_envs)
+    # eager per-env geometry: the speed layout wherever it fits (282 vs 297
+    # us/step rollout against the tiled pool-resident layout at 4096 envs with
+    # the division-free raycast — its prefetch hides under the leaner kernel;
+    # docs/DESIGN.md "Geometry layouts"). Pool-resident tiled/grouped are the
+    # capacity paths for env counts where per-env copies OOM.
+    track = trk.gather_tracks(pool, np.arange(num_envs) % num_tracks)
     env_cfg = senv.RacingConfig(num_sensors=11)
     hooks = make_single_env_hooks(env_cfg)
 

@@ -119,13 +119,12 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
     is generated *on device* (envs/procgen.py — no host round-trips) and all
     envs restart on it; pools are keyed by update index, so resumes see the
     same pool sequence. ``pooled_geometry`` keeps the [tracks, ...] pool
-    resident instead of per-env copies: ``"gather"`` (or True) is the
-    arbitrary-assignment per-env in-step gather (envs/track.py:PooledTracks,
-    ~1.6x slower per update); ``"grouped"`` blocks envs by track and expands
-    rows by fused broadcast (GroupedPooledTracks — near-eager speed). Both drop
-    geometry HBM from O(envs) to O(tracks): the capacity path for env counts
-    beyond what per-env copies allow (65536 envs x 256 steps fits eagerly on
-    one v5e; this is for beyond).
+    resident instead of per-env copies — the CAPACITY path for env counts where
+    per-env copies OOM (~500k envs/chip; eager is faster wherever it fits —
+    docs/DESIGN.md "Geometry layouts"): ``"tiled"`` keeps the default
+    interleaved assignment (trajectories bit-identical to eager),
+    ``"grouped"`` uses block-grouped assignment, ``"gather"`` (or True)
+    arbitrary env->track ids (slowest).
     """
     overrides = dict(
         total_timesteps=total_timesteps, num_envs=num_envs, num_steps=num_steps,
@@ -157,6 +156,8 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
                 raise ValueError("grouped geometry needs num_envs % num_tracks == 0")
             return trk.grouped_pooled_tracks(pool, np.arange(num_tracks),
                                              cfg.num_envs // num_tracks)
+        if pooled_geometry == "tiled":
+            return trk.tiled_pooled_tracks(pool, cfg.num_envs)
         if pooled_geometry:
             return trk.pooled_tracks(pool, env_ids)
         return trk.gather_tracks(pool, env_ids)
@@ -297,20 +298,19 @@ def main(argv=None):
     p.add_argument("--resample-tracks-every", type=int, default=None, metavar="K",
                    help="scale mode: resample the whole track pool on device "
                         "every K updates (domain randomization; 0 = off)")
-    p.add_argument("--pooled-geometry", nargs="?", const="gather",
-                   choices=["gather", "grouped"], default=None,
+    p.add_argument("--pooled-geometry", nargs="?", const="tiled",
+                   choices=["gather", "grouped", "tiled"], default=None,
                    help="scale mode: keep track geometry as the [tracks, ...] "
                         "pool instead of per-env copies (O(tracks) geometry "
-                        "HBM — the capacity path for extreme --num-envs). "
-                        "'gather' = per-env in-step gather, arbitrary "
-                        "env->track ids (~1.6x slower update); 'grouped' = "
-                        "block-grouped envs + fused broadcast (near-eager "
-                        "speed; default when a value is omitted is 'gather'). "
-                        "NOTE: 'grouped' changes the env->track assignment "
-                        "from interleaved arange(N)%%T to block-grouped "
-                        "repeat(arange(T), N/T) — per-track env counts are "
-                        "identical but per-env trajectories differ, so runs "
-                        "are not seed-for-seed comparable across layout flags")
+                        "HBM — the capacity path for env counts where per-env "
+                        "copies OOM, ~500k envs/chip; eager is faster "
+                        "wherever it fits). 'tiled' (default when a value is "
+                        "omitted) keeps the interleaved arange(N)%%T "
+                        "assignment — trajectories bit-identical to eager; "
+                        "'grouped' = block-grouped repeat(arange(T), N/T) "
+                        "assignment (NOT seed-for-seed comparable to eager "
+                        "runs — per-env track assignments differ); 'gather' = "
+                        "arbitrary env->track ids, ~2-3x slower update")
     p.add_argument("--pfsp", action="store_true",
                    help="scale/multi modes: prioritized fictitious self-play — "
                         "sample pool opponents by (1-winrate)^2 instead of "
