@@ -30,3 +30,31 @@ def test_rollout_flop_count_tracks_shapes():
     assert parts22["raycast"] - s * 5 == 2 * (parts["raycast"] - s * 5)
     # wider obs -> more MLP flops
     assert parts22["mlp"] > parts["mlp"]
+
+
+def test_resolve_roofline_calibration_logic(tmp_path, monkeypatch):
+    """Calibrated denominator of record; >5% upward drift adopts the
+    measurement; downward drift only reports (VERDICT r3 #4)."""
+    import json
+
+    import bench
+
+    calib_file = tmp_path / "cal.json"
+    monkeypatch.setattr(bench, "CALIBRATION_PATH", str(calib_file))
+
+    # no calibration file -> measured passes through
+    v, src, drift = bench.resolve_roofline(4.0e12)
+    assert v == 4.0e12 and "no calibration" in src and drift is None
+
+    calib_file.write_text(json.dumps({"vpu_fma_flops_per_s": 4.2e12}))
+    # small downward drift -> calibrated value wins, drift reported
+    v, src, drift = bench.resolve_roofline(3.0e12)
+    assert v == 4.2e12 and src == "calibrated" and drift < 0
+
+    # measurement exceeding calibration by >5% -> adopted
+    v, src, drift = bench.resolve_roofline(4.6e12)
+    assert v == 4.6e12 and "exceeds" in src and drift > 0.05
+
+    # failed measurement -> calibrated fallback
+    v, src, drift = bench.resolve_roofline(None)
+    assert v == 4.2e12 and "failed" in src
