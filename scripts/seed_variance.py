@@ -159,6 +159,56 @@ def main(argv=None):
         json.dump(data, f, indent=2)
     print(json.dumps(data["seed_band"], indent=2))
     print(f"wrote {path}")
+    plot_band(args.mode, data)
+
+
+def plot_band(mode: str, data: dict):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(9, 5))
+    steps = data.get("ours_steps") or data.get("steps")
+    for k in sorted(data):
+        if k.startswith("ours_rewards_seed"):
+            r = data[k]
+            ax.plot(steps[: len(r)] if steps else range(len(r)), r, "-",
+                    lw=1.0, alpha=0.8, color="tab:orange",
+                    label=f"ours seed {k.rsplit('seed', 1)[1]}")
+    rsteps = data.get("steps")
+    if "reference_rewards" in data:
+        r = data["reference_rewards"]
+        ax.plot(rsteps[: len(r)] if rsteps else range(len(r)), r, "-",
+                lw=1.6, color="tab:blue", label="reference seed 1")
+    for k in sorted(data):
+        if k.startswith("reference_rewards_seed"):
+            r = data[k]
+            ax.plot(rsteps[: len(r)] if rsteps else range(len(r)), r, "--",
+                    lw=1.0, alpha=0.8, color="tab:blue",
+                    label=f"reference seed {k.rsplit('seed', 1)[1]}")
+    band = data.get("seed_band", {})
+    o = band.get("ours", {})
+    if o.get("mean") is not None and o.get("std"):
+        ax.axhspan(o["mean"] - o["std"], o["mean"] + o["std"],
+                   color="tab:orange", alpha=0.12,
+                   label=f"ours converged-half mean ±σ ({o['std']:.0f})")
+    gap = band.get("level_gap_of_seed_means")
+    title_mode = "single-agent" if mode == "single" else "self-play"
+    ax.set_title(
+        f"Seed-variance bands ({title_mode}): pinned parity pool, "
+        f"{o.get('n_seeds', 0)} framework seeds"
+        + (f" | gap of seed-means {gap:.1%}" if gap is not None else ""))
+    ax.set_xlabel("env steps")
+    ax.set_ylabel("mean episode reward")
+    ax.legend(fontsize=7)
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    suffix = "" if mode == "single" else "_selfplay"
+    out = os.path.join(ROOT, "static", f"learning_curve_parity{suffix}_seeds.png")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    fig.savefig(out, dpi=150)
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":
