@@ -7,11 +7,17 @@ jitted lax.scan, i.e. exactly the per-step work PPO training performs.
 
 Prints ONE JSON line:
   {"metric": "env_steps_per_s", "value": N, "unit": "steps/s", "vs_baseline": N/1e6,
-   "mfu": f, "flops_per_s": F, "vpu_roofline_flops_per_s": P}
-vs_baseline is the ratio against the BASELINE.md north-star of 1M env-steps/s per host.
-``mfu`` = analytically FLOP-counted rollout rate / the VPU f32 roofline this
-same run measures with a chained-FMA microkernel (see rollout_flop_count /
-measure_vpu_roofline below and BASELINE.md "MFU methodology").
+   "mfu": f, "mfu_vpu": f, "mxu_flop_share": f, "flops_per_s": F,
+   "vpu_roofline_flops_per_s": P, "roofline_source": s, "roofline_drift": f,
+   "xla_cost_ratio": f}
+vs_baseline is the ratio against the BASELINE.md north-star of 1M env-steps/s per
+host. ``mfu`` = analytically FLOP-counted rollout rate / the CALIBRATED VPU FMA
+roofline (data/vpu_roofline_calibration.json — refresh with ``--recalibrate``;
+each run re-measures and reports drift); ``mfu_vpu`` scores only the non-MLP
+(VPU) flops against the same denominator; ``xla_cost_ratio`` cross-checks the
+analytic count against XLA's cost model on a scan-free single-step build
+(expected ~0.46 — the executed-ops-per-semantic-flop mix). See BASELINE.md
+"MFU methodology".
 """
 from __future__ import annotations
 

@@ -115,12 +115,18 @@ def sample_control_points(key, num_points: int, **param_ranges):
 
 
 def build_track_arrays(control_points, track_width, pad_multiple: int = 128,
-                       dtype=jnp.float32) -> TrackArrays:
+                       dtype=jnp.float32, sensor_lod: int = 1) -> TrackArrays:
     """Batched jnp version of the host geometry pipeline + pool padding.
 
     control_points: [K, n, 2]; track_width: [K] (or scalar). Returns a padded
     ``TrackArrays`` pool with the same layout contract as ``make_track_pool``
     (waypoints padded at PAD_XY, segments padded with zero direction vectors).
+
+    ``sensor_lod`` > 1 mirrors make_track_pool's relaxed sensing on device:
+    the raycast segment arrays become closed chords through every lod-th
+    boundary vertex with conservative outward vertex offsets (see
+    track._decimate_boundary — same construction, vectorized over the pool).
+    Requires n_wp %% sensor_lod == 0 (procgen pools share one n_wp).
     """
     cp = jnp.asarray(control_points)
     k, n, _ = cp.shape
@@ -152,19 +158,57 @@ def build_track_arrays(control_points, track_width, pad_multiple: int = 128,
     w = width[:, None]
     left_x, left_y = wp_x + nrm_x * w, wp_y + nrm_y * w
     right_x, right_y = wp_x - nrm_x * w, wp_y - nrm_y * w
-    seg_sx = jnp.concatenate([left_x, right_x], axis=1)           # [K, 2W]
-    seg_sy = jnp.concatenate([left_y, right_y], axis=1)
-    seg_ex = jnp.concatenate([jnp.roll(left_x, -1, axis=1),
-                              jnp.roll(right_x, -1, axis=1)], axis=1)
-    seg_ey = jnp.concatenate([jnp.roll(left_y, -1, axis=1),
-                              jnp.roll(right_y, -1, axis=1)], axis=1)
+    lod = int(sensor_lod)
+    if lod > 1:
+        if n_wp % lod:
+            raise ValueError(f"sensor_lod={lod} must divide n_wp={n_wp}")
+
+        def decimate(bx, by, onx, ony):
+            # [K, W] boundary + outward normals -> offset chord vertices [K, m]
+            m = n_wp // lod
+            vx = bx.reshape(k, m, lod)
+            vy = by.reshape(k, m, lod)
+            ax, ay = vx[:, :, 0], vy[:, :, 0]                 # kept vertices
+            bx2 = jnp.roll(ax, -1, axis=1)
+            by2 = jnp.roll(ay, -1, axis=1)
+            cx, cy = bx2 - ax, by2 - ay
+            norm = jnp.sqrt(cx * cx + cy * cy)
+            norm = jnp.where(norm < 1e-12, 1.0, norm)
+            cnx, cny = -cy / norm, cx / norm                  # chord normal
+            keep_onx = onx.reshape(k, m, lod)[:, :, 0]
+            keep_ony = ony.reshape(k, m, lod)[:, :, 0]
+            flip = jnp.sign(cnx * keep_onx + cny * keep_ony)
+            flip = jnp.where(flip == 0, 1.0, flip)
+            cnx, cny = cnx * flip, cny * flip
+            # outward deviation of the lod-1 skipped vertices per chord
+            dev = ((vx[:, :, 1:] - ax[:, :, None]) * cnx[:, :, None]
+                   + (vy[:, :, 1:] - ay[:, :, None]) * cny[:, :, None])
+            chord_dev = jnp.maximum(dev.max(axis=-1), 0.0)    # [K, m]
+            off = jnp.maximum(chord_dev, jnp.roll(chord_dev, 1, axis=1))
+            return ax + keep_onx * off, ay + keep_ony * off
+
+        dlx, dly = decimate(left_x, left_y, nrm_x, nrm_y)
+        drx, dry = decimate(right_x, right_y, -nrm_x, -nrm_y)
+        seg_sx = jnp.concatenate([dlx, drx], axis=1)          # [K, 2W/lod]
+        seg_sy = jnp.concatenate([dly, dry], axis=1)
+        seg_ex = jnp.concatenate([jnp.roll(dlx, -1, axis=1),
+                                  jnp.roll(drx, -1, axis=1)], axis=1)
+        seg_ey = jnp.concatenate([jnp.roll(dly, -1, axis=1),
+                                  jnp.roll(dry, -1, axis=1)], axis=1)
+    else:
+        seg_sx = jnp.concatenate([left_x, right_x], axis=1)       # [K, 2W]
+        seg_sy = jnp.concatenate([left_y, right_y], axis=1)
+        seg_ex = jnp.concatenate([jnp.roll(left_x, -1, axis=1),
+                                  jnp.roll(right_x, -1, axis=1)], axis=1)
+        seg_ey = jnp.concatenate([jnp.roll(left_y, -1, axis=1),
+                                  jnp.roll(right_y, -1, axis=1)], axis=1)
     seg_vx, seg_vy = seg_ex - seg_sx, seg_ey - seg_sy
 
     span_x = wp_x.max(axis=1) - wp_x.min(axis=1)
     span_y = wp_y.max(axis=1) - wp_y.min(axis=1)
 
     w_pad = _round_up(n_wp, pad_multiple)
-    s_pad = _round_up(2 * n_wp, pad_multiple)
+    s_pad = _round_up(seg_sx.shape[1], pad_multiple)
 
     def pad(a, total, fill):
         return jnp.pad(a, ((0, 0), (0, total - a.shape[1])), constant_values=fill)
@@ -191,10 +235,10 @@ def build_track_arrays(control_points, track_width, pad_multiple: int = 128,
     )
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 5))
 def gen_track_pool_device(key, num_tracks: int, num_points: int = 12,
                           pad_multiple: int = 128,
-                          width_range=(6.0, 10.0)) -> TrackArrays:
+                          width_range=(6.0, 10.0), sensor_lod: int = 1) -> TrackArrays:
     """Sample a whole padded track pool on device in one jitted program.
 
     Equivalent role to host gen_tracks + make_track_pool (track.py:47-56 +
@@ -205,4 +249,5 @@ def gen_track_pool_device(key, num_tracks: int, num_points: int = 12,
         jax.random.split(kc, num_tracks))
     widths = jax.random.uniform(kw, (num_tracks,), minval=width_range[0],
                                 maxval=width_range[1])
-    return build_track_arrays(cps, widths, pad_multiple=pad_multiple)
+    return build_track_arrays(cps, widths, pad_multiple=pad_multiple,
+                              sensor_lod=sensor_lod)

@@ -162,9 +162,6 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
             return trk.pooled_tracks(pool, env_ids)
         return trk.gather_tracks(pool, env_ids)
     if resample_tracks_every:
-        if sensor_lod != 1:
-            raise ValueError("--sensor-lod requires the host-side pool "
-                             "(incompatible with --resample-tracks-every)")
         import jax
 
         from .envs import procgen as pg
@@ -179,7 +176,8 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
             k = jax.random.key(cfg.seed)
             if boundary:
                 k = jax.random.fold_in(k, boundary)
-            pool = pg.gen_track_pool_device(k, num_tracks, track_points)
+            pool = pg.gen_track_pool_device(k, num_tracks, track_points,
+                                            sensor_lod=sensor_lod)
             return track_view(pool)
 
         print(f"Generating {num_tracks}-track pool on device "

@@ -72,9 +72,40 @@ def test_lod_observation_error_is_small():
     assert frac_big < 0.01, f"{frac_big:.2%} of rays off by >2 units (grazing tail)"
 
 
-def test_lod_incompatible_with_device_resampling():
+def test_device_procgen_lod_matches_host_decimation():
+    """The on-device chord decimation (procgen.build_track_arrays sensor_lod)
+    must match the host _decimate_boundary construction on the same boundary
+    to f32 tolerance, so --sensor-lod composes with --resample-tracks-every."""
+    import jax.numpy as jnp
+
+    from self_play_racing_tpu.envs import procgen as pg
+    from self_play_racing_tpu.envs.track import _decimate_boundary
+
+    key = jax.random.key(3)
+    exact = pg.gen_track_pool_device(key, 2, num_points=12)
+    relaxed = pg.gen_track_pool_device(key, 2, num_points=12, sensor_lod=4)
+    n = int(exact.n_wp[0])
+    assert relaxed.seg_sx.shape[-1] < exact.seg_sx.shape[-1]
+    # waypoints/normals untouched
+    np.testing.assert_array_equal(np.asarray(exact.wp_x), np.asarray(relaxed.wp_x))
+
+    for tr in range(2):
+        left = np.stack([np.asarray(exact.seg_sx[tr][:n]),
+                         np.asarray(exact.seg_sy[tr][:n])], -1)
+        nrm = np.stack([np.asarray(exact.nrm_x[tr][:n]),
+                        np.asarray(exact.nrm_y[tr][:n])], -1)
+        host = _decimate_boundary(left.astype(np.float64),
+                                  nrm.astype(np.float64), 4)
+        m = len(host)
+        dev_x = np.asarray(relaxed.seg_sx[tr][:m])
+        np.testing.assert_allclose(dev_x, host[:, 0], rtol=0, atol=2e-3)
+
+
+def test_scale_resample_with_lod_trains():
     from self_play_racing_tpu.train import train_scale
 
-    with pytest.raises(ValueError, match="sensor-lod"):
-        train_scale(total_timesteps=8 * 16 * 2, num_envs=8, num_steps=16,
-                    num_tracks=2, resample_tracks_every=1, sensor_lod=4)
+    tr = train_scale(total_timesteps=8 * 16 * 2, num_envs=8, num_steps=16,
+                     num_tracks=2, resample_tracks_every=1, sensor_lod=4,
+                     out="/tmp/lodres.npz", info_out="/tmp/lodres.json",
+                     checkpoint_dir=None, num_minibatches=2, update_epochs=2)
+    assert int(tr.runner.train.update) == 2
