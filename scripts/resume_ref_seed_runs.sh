@@ -1,18 +1,22 @@
 #!/bin/bash
 # Resume the reference torch seed-variance runs (VERDICT r3 #2) from the
 # checkpoints preserved in data/ref_seed_runs/ if the /tmp workdirs are gone.
-# Each run trains the reference SelfPlayPPO at the fixed seed-1 parity pool
-# with config seed N; curves merge into data/learning_curve_parity_selfplay.json
-# as reference_rewards_seedN. After both finish:
-#   python scripts/seed_variance.py --mode selfplay --band-only
+#
+# SELF-PLAY legs (seeds 2/3): COMPLETE as of round 4 — curves merged into
+# data/learning_curve_parity_selfplay.json (gap of seed-means 0.9%,
+# gap/sigma 0.25). Re-running them is only needed to reproduce.
+#
+# SINGLE-AGENT legs (seeds 2/3): resumable driver checkpoints land in
+# data/ref_seed_runs/single_seed{2,3}_driver_checkpoint.pkl; restore + resume
+# below. After both finish:
+#   python scripts/seed_variance.py --mode single --band-only
 set -e
 cd "$(dirname "$0")/.."
 for s in 2 3; do
-  mkdir -p /tmp/ref_sp_seed$s/models /tmp/ref_sp_seed$s/data
-  for f in data/ref_seed_runs/seed${s}_checkpoint_update_*.pth; do
-    [ -e "$f" ] && cp "$f" /tmp/ref_sp_seed$s/models/"$(basename "${f#data/ref_seed_runs/seed${s}_}")"
-  done
-  OMP_NUM_THREADS=1 nice -n 10 python scripts/run_reference_selfplay_full.py \
-    --updates 91 --train-seed $s --workdir /tmp/ref_sp_seed$s &
+  mkdir -p /tmp/ref_single_seed$s
+  src=data/ref_seed_runs/single_seed${s}_driver_checkpoint.pkl
+  [ -e "$src" ] && cp "$src" /tmp/ref_single_seed$s/driver_checkpoint.pkl
+  OMP_NUM_THREADS=1 MKL_NUM_THREADS=1 python scripts/run_reference_single_full.py \
+    --train-seed $s --workdir /tmp/ref_single_seed$s &
 done
 wait
