@@ -81,29 +81,73 @@ def speed_row(lod, num_agents=8):
     return row
 
 
+def lod_outward_bound(lod):
+    """Max outward distance d_out from the true boundary to the LOD polyline,
+    per pool: the geometric driver of the grazing-ray overshoot (a ray crossing
+    the true wall at incidence angle theta travels ~d_out/sin(theta) further
+    before crossing the LOD polyline — docs/DESIGN.md 'Relaxed sensing error
+    tail'). Sampled densely along every LOD segment against the true segments."""
+    exact = canonical_pool(1)
+    relaxed = canonical_pool(lod)
+    d_out = 0.0
+    for t in range(NUM_TRACKS):
+        es = np.stack([np.asarray(exact.seg_sx[t]), np.asarray(exact.seg_sy[t])], -1)
+        ev = np.stack([np.asarray(exact.seg_vx[t]), np.asarray(exact.seg_vy[t])], -1)
+        live = (np.abs(ev) > 0).any(-1)
+        es, ev = es[live], ev[live]
+        rs = np.stack([np.asarray(relaxed.seg_sx[t]), np.asarray(relaxed.seg_sy[t])], -1)
+        rv = np.stack([np.asarray(relaxed.seg_vx[t]), np.asarray(relaxed.seg_vy[t])], -1)
+        livr = (np.abs(rv) > 0).any(-1)
+        rs, rv = rs[livr], rv[livr]
+        # sample 8 points per LOD segment; min distance to any true segment
+        u = np.linspace(0.0, 1.0, 8)
+        pts = (rs[:, None, :] + u[None, :, None] * rv[:, None, :]).reshape(-1, 2)
+        w = pts[:, None, :] - es[None, :, :]                  # [P, S, 2]
+        seg_len2 = np.maximum((ev * ev).sum(-1), 1e-12)
+        tproj = np.clip((w * ev[None]).sum(-1) / seg_len2, 0.0, 1.0)
+        closest = es[None] + tproj[..., None] * ev[None]
+        dist = np.sqrt(((pts[:, None, :] - closest) ** 2).sum(-1)).min(-1)
+        d_out = max(d_out, float(dist.max()))
+    return d_out
+
+
 def obs_error_stats(lod):
+    """Ray-error tails exact vs LOD, with and without the production range
+    clamp (clamp_sensor_range, paired with sensor_lod>1 by train_scale). The
+    unclamped tail documents the raw grazing-ray overshoot mechanism; the
+    clamped row is what trained policies actually see."""
     exact = canonical_pool(1)
     relaxed = canonical_pool(lod)
     n = 512
     cfg = senv.RacingConfig(num_sensors=11)
+    cfg_clamp = senv.RacingConfig(num_sensors=11, clamp_sensor_range=True)
     te = trk.gather_tracks(exact, np.arange(n) % NUM_TRACKS)
     tl = trk.gather_tracks(relaxed, np.arange(n) % NUM_TRACKS)
     state, _ = jax.jit(lambda t: senv.reset(cfg, t))(te)
     step = jax.jit(lambda t, s, a: senv.step(cfg, t, s, a))
     obs_fn = jax.jit(lambda t, s: senv.observe(cfg, t, s))
+    obs_fn_c = jax.jit(lambda t, s: senv.observe(cfg_clamp, t, s))
     rng = np.random.RandomState(0)
-    errs = []
+    errs, errs_c = [], []
     se = state
     for _ in range(100):
         a = jnp.asarray(rng.uniform([-1, 0], [1, 1], (n, 2)), jnp.float32)
         se, obs_e, *_ = step(te, se, a)
         obs_l = obs_fn(tl, se)
+        obs_lc = obs_fn_c(tl, se)
         errs.append(np.abs(np.asarray(obs_e[:, :11] - obs_l[:, :11])) * 50.0)
+        errs_c.append(np.abs(np.asarray(obs_e[:, :11] - obs_lc[:, :11])) * 50.0)
     e = np.concatenate([x.ravel() for x in errs])
+    ec = np.concatenate([x.ravel() for x in errs_c])
     return {"sensor_lod": lod, "mean": float(e.mean()),
             "p99": float(np.percentile(e, 99)),
             "frac_over_2_units": float((e > 2).mean()),
-            "max": float(e.max())}
+            "max": float(e.max()),
+            "clamped": {"mean": float(ec.mean()),
+                        "p99": float(np.percentile(ec, 99)),
+                        "frac_over_2_units": float((ec > 2).mean()),
+                        "max": float(ec.max())},
+            "d_out_units": lod_outward_bound(lod)}
 
 
 def behavior_leg(lod, budget=50_000_000, tmpdir="/tmp/relaxed_sensing"):

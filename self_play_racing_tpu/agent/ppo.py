@@ -70,14 +70,38 @@ class TrainState:
     opt_state: Any
     update: jnp.ndarray       # i32 scalar: update index (drives anneals).
     # Wrapping is unreachable here: 2^31-1 UPDATES = 70 trillion env steps at
-    # the default batch; the 8B-step endurance run was 7,629 updates.
-    # DEAD on device, retained only so pre-existing checkpoints keep their
-    # pytree layout (load_pytree matches leaves by index). Every authoritative
-    # step count — metrics, logs, checkpoint meta — derives from ``update`` as
-    # exact Python/f32 arithmetic (update * batch_size); nothing reads this
-    # leaf. It would wrap past 2^31-1 env steps (~2.1B), which is why it was
-    # demoted (VERDICT r3 #8: 8B-step runs persisted wrapped counters).
+    # the default batch; the 8B-step endurance run was 7,629 updates. Every
+    # authoritative step count — metrics, logs, checkpoint meta — derives from
+    # ``update`` as exact Python/f32 arithmetic (update * batch_size). A
+    # device-side i32 global_step (would wrap past ~2.1B env steps; VERDICT r3
+    # #8) was carried as a dead leaf through round 4 and removed in round 5 —
+    # legacy checkpoints load through ``legacy_v0_template`` below.
+
+
+@struct.dataclass
+class _TrainStateV0:
+    """Round-≤4 checkpoint layout of TrainState: same fields plus the dead
+    device ``global_step`` leaf. Only used as a load template for legacy
+    (index-addressed, format-v0) checkpoint files, whose positional matching
+    requires the exact historic leaf order (params, opt_state, update,
+    global_step)."""
+
+    params: Any
+    opt_state: Any
+    update: jnp.ndarray
     global_step: jnp.ndarray
+
+
+def legacy_v0_template(train: TrainState) -> _TrainStateV0:
+    """Wrap a current TrainState as the round-≤4 layout for legacy loads."""
+    return _TrainStateV0(params=train.params, opt_state=train.opt_state,
+                         update=train.update,
+                         global_step=jnp.zeros((), jnp.int32))
+
+
+def from_legacy_v0(v0: _TrainStateV0) -> TrainState:
+    """Drop the dead global_step leaf of a legacy-loaded TrainState."""
+    return TrainState(params=v0.params, opt_state=v0.opt_state, update=v0.update)
 
 
 @struct.dataclass
@@ -106,7 +130,6 @@ def init_train_state(key, cfg: PPOConfig, obs_dim: int, action_dim: int) -> Trai
         params=params,
         opt_state=opt_state,
         update=jnp.zeros((), jnp.int32),
-        global_step=jnp.zeros((), jnp.int32),
     )
 
 
@@ -420,7 +443,6 @@ def make_update_step(cfg: PPOConfig, hooks: EnvHooks, action_dim: int = 2):
             params=params,
             opt_state=opt_state,
             update=runner.train.update + 1,
-            global_step=runner.train.global_step + cfg.batch_size,
         )
         new_runner = RunnerState(train=train, vec=vec, obs=next_obs, done=next_done,
                                  key=key, obs_norm=norm)
@@ -428,9 +450,9 @@ def make_update_step(cfg: PPOConfig, hooks: EnvHooks, action_dim: int = 2):
         ep_count = jnp.sum(sstats["ep_count"])
         metrics = {
             "update": runner.train.update,
-            # derived from the (never-wrapping) update index, NOT the dead i32
-            # leaf: exact to 2^24 steps in this f32 packing, and the host
-            # re-derives the exact integer as update * batch_size anyway
+            # derived from the (never-wrapping) update index: exact to 2^24
+            # steps in this f32 packing, and the host re-derives the exact
+            # integer as update * batch_size anyway
             "global_step": (runner.train.update + 1).astype(jnp.float32)
                            * cfg.batch_size,
             "lr": lr,

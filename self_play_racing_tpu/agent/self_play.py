@@ -265,9 +265,9 @@ class SelfPlayTrainer(PPOTrainer):
     def save_checkpoint(self, path: str):
         meta = {
             "num_snapshots": self.num_snapshots,
-            # exact Python-int step count (the device TrainState leaf is a dead
-            # i32 that would wrap past ~2.1B steps; the update index never
-            # wraps, so this is authoritative for arbitrarily long runs)
+            # exact Python-int step count derived from the update index (never
+            # wraps — authoritative for arbitrarily long runs; a device i32
+            # would wrap past ~2.1B steps)
             "global_step": self._host_update * self.cfg.batch_size,
             "config": dataclasses.asdict(
                 dataclasses.replace(self.cfg)
@@ -280,7 +280,16 @@ class SelfPlayTrainer(PPOTrainer):
         print(f"Saved full checkpoint to {path}")
 
     def load_checkpoint(self, path: str):
-        tree, meta = ckpt.load_pytree(path, self._ckpt_tree())
+        if ckpt.format_version(path) == 0:
+            # round-≤4 index-addressed checkpoint: its TrainState carried a dead
+            # device global_step as its final leaf — load through the historic
+            # layout, then drop the leaf (agent.ppo.legacy_v0_template).
+            tpl = self._ckpt_tree()
+            tpl["train"] = ppo.legacy_v0_template(tpl["train"])
+            tree, meta = ckpt.load_pytree(path, tpl)
+            tree["train"] = ppo.from_legacy_v0(tree["train"])
+        else:
+            tree, meta = ckpt.load_pytree(path, self._ckpt_tree())
         self.runner = self.runner.replace(train=tree["train"])
         if "obs_norm" in tree:
             self.runner = self.runner.replace(obs_norm=tree["obs_norm"])
@@ -357,8 +366,6 @@ class SelfPlayTrainer(PPOTrainer):
         train = self.runner.train.replace(
             params=params, opt_state=opt_state,
             update=jnp.asarray(completed, jnp.int32),
-            global_step=jnp.asarray(
-                int(ckpt["global_step"]) % (2**31), jnp.int32),
         )
         self.runner = self.runner.replace(train=train)
         self._host_update = completed

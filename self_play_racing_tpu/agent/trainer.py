@@ -94,6 +94,14 @@ class PPOTrainer:
         config only controls the communication pattern."""
         from ..parallel import mesh as pmesh
 
+        n_data = mesh.shape[mesh.axis_names[0]]
+        if self.cfg.data_shards > 1 and self.cfg.data_shards != n_data:
+            raise ValueError(
+                f"cfg.data_shards={self.cfg.data_shards} does not match the "
+                f"mesh's data axis ({n_data}): the shard-local minibatch layout "
+                f"only stays collective-free when the shard count equals the "
+                f"data-parallel degree (use data_shards={n_data} or 1)"
+            )
         self._mesh = mesh
         self.runner, self.aux = pmesh.shard_runner(
             self.runner, self.aux, mesh, self.cfg.num_envs)

@@ -45,6 +45,11 @@ class MultiRacingConfig:
     num_sensors: int = 11          # multi_racing_env.py:9
     max_sensor_range: float = 50.0
     sensor_cone: float = float(np.pi / 2)  # multi_racing_env.py:50
+    # Clamp sensor reads to max_sensor_range. False preserves the reference's
+    # unclamped-hit quirk (track.py:199); clamping was measured to HURT
+    # relaxed-sensing fidelity vs exact-mode obs — see
+    # envs/single.py:RacingConfig and docs/DESIGN.md "Relaxed sensing error tail".
+    clamp_sensor_range: bool = False
     dt: float = 0.05
     max_steps: int = 3000
     car: CarSpec = DEFAULT_CAR
@@ -177,6 +182,8 @@ def observe(cfg: MultiRacingConfig, track: TrackArrays, state: MultiState) -> jn
         cfg.max_sensor_range,
     )
     dist = jnp.minimum(wall, cars)                                   # [N, A, R]
+    if cfg.clamp_sensor_range:
+        dist = jnp.minimum(dist, jnp.asarray(cfg.max_sensor_range, dist.dtype))
     rays = dist.astype(jnp.float32) / jnp.float32(cfg.max_sensor_range)
 
     ca = jnp.cos(state.angle)

@@ -40,6 +40,15 @@ class RacingConfig:
     num_sensors: int = 7           # racing_env.py:9 default; entry points use 11
     max_sensor_range: float = 50.0
     sensor_cone: float = float(np.pi / 3)  # racing_env.py:45
+    # Clamp sensor reads to max_sensor_range. False preserves the reference's
+    # unclamped-hit quirk (track.py:199: a hit beyond max range is returned
+    # as-is, so obs rays can exceed 1.0). Measured NOT to pair well with
+    # relaxed sensing (sensor_lod > 1): clamping LOD reads shifts the ~7% of
+    # rays that legitimately read >range under the quirk and raises mean
+    # error vs exact-mode obs 30x (docs/DESIGN.md "Relaxed sensing error
+    # tail"). Opt in only if bounded observations matter more than exact-mode
+    # fidelity — then set it in BOTH training and eval configs.
+    clamp_sensor_range: bool = False
     dt: float = 0.05
     max_steps: int = 3000
     speed_weight: float = 8.0      # effective constant in the reference (quirk #2)
@@ -129,6 +138,8 @@ def observe(cfg: RacingConfig, track: TrackArrays, state: RacingState) -> jnp.nd
         cfg.max_sensor_range,
         seg_c=track.seg_c[:, None, :],
     )                                                                # [N, R]
+    if cfg.clamp_sensor_range:
+        dist = jnp.minimum(dist, jnp.asarray(cfg.max_sensor_range, dist.dtype))
     rays = dist.astype(jnp.float32) / jnp.float32(cfg.max_sensor_range)
 
     ca = jnp.cos(car.angle)

@@ -96,43 +96,6 @@ def _ratio_min_reducer(p, q):
     return (jnp.where(take_q, qa, pa), jnp.where(take_q, qd, pd))
 
 
-def raycast_walls_fan(ox, oy, dx, dy, seg_sx, seg_sy, seg_vx, seg_vy, max_dist,
-                      seg_c=None):
-    """``raycast_walls`` for a FAN of rays sharing one origin per batch element
-    (the sensor geometry: every car casts all its rays from its own position).
-
-    ox, oy: origins, shape ``B``. dx, dy: directions, shape ``B + (R,)``.
-    seg_*: shape ``B + (S,)`` (broadcastable). Returns ``B + (R,)``.
-
-    Bit-identical to raycast_walls on broadcast origins — same per-element
-    arithmetic — with the segment cross term ``cn`` (ray-independent) computed
-    once per (batch, segment) instead of R times. NOTE: measured *slower* than
-    the broadcast form on TPU (1858 vs 1795 us per [4096, 2, 11, 900] call in a
-    scan) — splitting the single raycast fusion costs more than the recompute it
-    saves (docs/DESIGN.md "Kernels that were measured and rejected"). Kept for
-    API symmetry; the env hot paths use ``raycast_walls``.
-    """
-    if seg_c is None:
-        seg_c = seg_vy * seg_sx - seg_vx * seg_sy
-    cn = oy[..., None] * seg_vx - ox[..., None] * seg_vy + seg_c       # B + (S,)
-    u = ox[..., None] * dy - oy[..., None] * dx                        # B + (R,)
-    dotp = seg_vy[..., None, :] * dx[..., None] \
-        - seg_vx[..., None, :] * dy[..., None]                         # B + (R, S)
-    sn = seg_sx[..., None, :] * dy[..., None] \
-        - seg_sy[..., None, :] * dx[..., None] - u[..., None]
-    d = jnp.abs(dotp)
-    cn_r = cn[..., None, :]
-    hit = ((d > _PARALLEL_EPS) & (cn_r * dotp >= 0.0) & (sn * dotp >= 0.0)
-           & (jnp.abs(sn) <= d))
-    akey = jnp.where(hit, jnp.abs(cn_r), jnp.inf)
-    dkey = jnp.where(hit, d, 1.0)
-    init = (jnp.asarray(jnp.inf, akey.dtype), jnp.asarray(1.0, dkey.dtype))
-    amin, dmin = jax.lax.reduce((akey, dkey), init, _ratio_min_reducer,
-                                (akey.ndim - 1,))
-    tmin = amin / dmin
-    return jnp.where(jnp.isinf(tmin), jnp.asarray(max_dist, tmin.dtype), tmin)
-
-
 def nearest_waypoint(px, py, wp_x, wp_y):
     """Index of the nearest waypoint (first occurrence on ties, as np.argmin).
 

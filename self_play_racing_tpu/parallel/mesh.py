@@ -192,7 +192,18 @@ def _shard_train_state(train, mesh: Mesh):
 def shard_runner(runner, aux, mesh: Mesh, num_envs: int):
     """Place a PPO RunnerState + aux for distributed execution: env-batch leaves
     sharded over 'data', train state tensor-sharded over 'model' when present
-    (replicated otherwise), PRNG keys replicated."""
+    (replicated otherwise), PRNG keys replicated.
+
+    num_envs must divide evenly over the mesh's data axis — uneven env shards
+    would silently skew the per-device workload and break the shard-local
+    minibatch layout's equal-stratum contract (ppo.run_ppo_update)."""
+    n_data = mesh.shape[mesh.axis_names[0]]
+    if num_envs % n_data != 0:
+        raise ValueError(
+            f"num_envs={num_envs} is not divisible by the mesh's data axis "
+            f"({mesh.axis_names[0]}={n_data}); choose num_envs as a multiple of "
+            f"the data-parallel degree so every device owns an equal env shard"
+        )
     train = _shard_train_state(runner.train, mesh)
     vec = shard_by_env_axis(runner.vec, mesh, num_envs)
     runner = runner.replace(

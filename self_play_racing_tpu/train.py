@@ -189,6 +189,13 @@ def train_scale(total_timesteps=1_000_000_000, num_envs=4096, num_steps=256,
         widths = [float(np.random.randint(6, 10)) for _ in range(num_tracks)]
         pool = trk.make_track_pool(cps, widths, sensor_lod=sensor_lod)
         track = track_view(pool)
+    # NOTE: relaxed sensing (sensor_lod>1) deliberately does NOT pair with
+    # clamp_sensor_range: clamping LOD reads makes them LESS faithful to the
+    # exact-mode observations policies are evaluated on (the reference's
+    # unclamped-hit quirk routinely reads >50 down straights; clamping shifts
+    # 7% of all rays, raising mean error 30x — docs/DESIGN.md "Relaxed
+    # sensing error tail"). The knob stays available for users who want
+    # bounded observations in both modes.
     env_cfg = menv.MultiRacingConfig(num_agents=num_agents, num_sensors=11)
 
     print("=" * 60)

@@ -94,24 +94,6 @@ def test_ray_vs_cars_matches_reference_scalar_helper():
             assert abs(float(got) - expected) < 1e-9
 
 
-def test_raycast_fan_bitexact_vs_broadcast():
-    """raycast_walls_fan (shared-origin restructure) must equal raycast_walls on
-    broadcast origins BIT-exactly — same per-element arithmetic, the ray-
-    independent cn term is just computed once."""
-    rng = np.random.RandomState(3)
-    n, r, s = 32, 11, 40
-    ox = jnp.asarray(rng.uniform(-50, 50, (n,)))
-    oy = jnp.asarray(rng.uniform(-50, 50, (n,)))
-    ang = rng.uniform(0, 2 * np.pi, (n, r))
-    dx, dy = jnp.asarray(np.cos(ang)), jnp.asarray(np.sin(ang))
-    seg_sx = jnp.asarray(rng.uniform(-60, 60, (n, s)))
-    seg_sy = jnp.asarray(rng.uniform(-60, 60, (n, s)))
-    seg_vx = jnp.asarray(rng.uniform(-5, 5, (n, s)))
-    seg_vy = jnp.asarray(rng.uniform(-5, 5, (n, s)))
-
-    ref = geo.raycast_walls(
-        jnp.broadcast_to(ox[:, None], (n, r)), jnp.broadcast_to(oy[:, None], (n, r)),
-        dx, dy, seg_sx[:, None, :], seg_sy[:, None, :],
-        seg_vx[:, None, :], seg_vy[:, None, :], 50.0)
-    fan = geo.raycast_walls_fan(ox, oy, dx, dy, seg_sx, seg_sy, seg_vx, seg_vy, 50.0)
-    np.testing.assert_array_equal(np.asarray(ref), np.asarray(fan))
+# (raycast_walls_fan — the shared-origin restructure — was retired to
+# docs/DESIGN.md's rejected-kernels log in round 5: measured slower than the
+# broadcast form, same category as the retired Pallas kernel.)

@@ -109,3 +109,33 @@ def test_scale_resample_with_lod_trains():
                      out="/tmp/lodres.npz", info_out="/tmp/lodres.json",
                      checkpoint_dir=None, num_minibatches=2, update_epochs=2)
     assert int(tr.runner.train.update) == 2
+
+
+def test_clamp_sensor_range_bounds_reads():
+    """clamp_sensor_range: every ray obs <= 1.0 (range-normalized); default
+    (False) preserves the unclamped-hit quirk (reads beyond max range pass
+    through, track.py:199). Non-ray features are untouched."""
+    exact, relaxed = _pools(4)
+    n = 32
+    te = trk.gather_tracks(relaxed, np.arange(n) % 4)
+    cfg = senv.RacingConfig(num_sensors=11)
+    cfg_c = senv.RacingConfig(num_sensors=11, clamp_sensor_range=True)
+    state = senv.reset_state(cfg, te)
+    rng = np.random.RandomState(0)
+    step = jax.jit(lambda t, s, a: senv.step(cfg, t, s, a))
+    obs_fn = jax.jit(lambda t, s: senv.observe(cfg, t, s))
+    obs_fn_c = jax.jit(lambda t, s: senv.observe(cfg_c, t, s))
+    se = state
+    saw_over = False
+    for _ in range(60):
+        a = jnp.asarray(rng.uniform([-1, 0], [1, 1], (n, 2)), jnp.float32)
+        se, *_ = step(te, se, a)
+        obs = obs_fn(te, se)
+        obs_c = obs_fn_c(te, se)
+        rays, rays_c = np.asarray(obs[:, :11]), np.asarray(obs_c[:, :11])
+        assert (rays_c <= 1.0 + 1e-6).all()
+        np.testing.assert_array_equal(np.minimum(rays, 1.0), rays_c)
+        np.testing.assert_array_equal(np.asarray(obs[:, 11:]),
+                                      np.asarray(obs_c[:, 11:]))
+        saw_over = saw_over or (rays > 1.0).any()
+    assert saw_over  # the quirk actually fires on these tracks

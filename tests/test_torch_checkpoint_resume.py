@@ -103,9 +103,9 @@ def test_torch_checkpoint_transfers_everything(tmp_path):
     assert int(adam.count) == int(tstate[0]["step"])
 
     # counters: reference 0-based update 30 -> 31 completed updates here
+    # (global step is derived, not device state: update * batch_size)
     assert trainer._host_update == 31
     assert int(trainer.runner.train.update) == 31
-    assert int(trainer.runner.train.global_step) == 31 * 2048
 
     # pool: num_snapshots = 30 // 15 = 2; list maps to ring slots 0, 1
     assert trainer.num_snapshots == 2 and trainer.pool_count == 2
