@@ -174,12 +174,76 @@ def behavior_leg(lod, budget=50_000_000, tmpdir="/tmp/relaxed_sensing"):
             "exact_grid_avg_speed": res.get("avg_speed")}
 
 
+def behavior_leg_a8(lod, budget=500_000_000, tmpdir="/tmp/relaxed_a8"):
+    """Same-budget A=8 leg at production scale (VERDICT r4 #3: the exact-
+    sensing control for the 500M relaxed flagship run): train 500M env-steps
+    of 8-car self-play at the given sensor LOD, then evaluate on the
+    EXACT-sensing held-out grid. Results merge into relaxed_sensing.json as
+    ``behavior_a8`` and land in data/{eval,training}_info_8car_*_500M.json."""
+    from self_play_racing_tpu.evaluate import evaluate_multi_agent_overall
+    from self_play_racing_tpu.train import train_scale
+    from self_play_racing_tpu.utils.metrics import build_eval_grid
+
+    tag = "relaxed" if lod > 1 else "exact"
+    os.makedirs(tmpdir, exist_ok=True)
+    out = os.path.join(ROOT, "models", f"self_play_agent_8car_{tag}_500M.npz")
+    info = os.path.join(ROOT, "data", f"training_info_8car_{tag}_500M.json")
+    if os.path.exists(out) and os.path.exists(info):
+        # model already trained (e.g. eval-only rerun): reuse it; keep any
+        # previously recorded wall time
+        prev = os.path.join(ROOT, "data", f"eval_info_8car_{tag}_500M.json")
+        wall = None
+        if os.path.exists(prev):
+            with open(prev) as f:
+                wall = json.load(f).get("wall_s")
+        print(f"reusing trained model {out}", file=sys.stderr)
+    else:
+        t0 = time.perf_counter()
+        train_scale(total_timesteps=budget, num_envs=NUM_ENVS,
+                    num_steps=NUM_STEPS, num_tracks=NUM_TRACKS, num_agents=8,
+                    out=out, info_out=info,
+                    checkpoint_dir=os.path.join(tmpdir, f"ck{lod}"),
+                    checkpoint_every=10**9, sensor_lod=lod)
+        wall = time.perf_counter() - t0
+    grid = build_eval_grid(num_tracks=40, num_runs=5, seed=42)
+    res = evaluate_multi_agent_overall(grid, out, num_agents=8)
+    row = {"wall_s": wall, "steps": budget, "num_agents": 8,
+           "sensor_lod_train": lod, "eval_sensing": "exact",
+           **res}
+    with open(os.path.join(ROOT, "data",
+                           f"eval_info_8car_{tag}_500M.json"), "w") as f:
+        json.dump(row, f, indent=2)
+    print(json.dumps(row), file=sys.stderr)
+    return row
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--skip-train", action="store_true")
     p.add_argument("--budget", type=int, default=50_000_000)
+    p.add_argument("--a8", nargs="*", type=int, metavar="LOD",
+                   help="run ONLY the A=8 500M behavior legs at these LODs "
+                        "(e.g. --a8 1 4) and merge behavior_a8 into the "
+                        "artifact")
     args = p.parse_args(argv)
     print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    out = os.path.join(ROOT, "data", "relaxed_sensing.json")
+    if args.a8 is not None:
+        lods = args.a8 or [1, 4]
+        rows = [behavior_leg_a8(lod) for lod in lods]
+        payload = {}
+        if os.path.exists(out):
+            with open(out) as f:
+                payload = json.load(f)
+        merged = {r["sensor_lod_train"]: r
+                  for r in payload.get("behavior_a8", [])}
+        merged.update({r["sensor_lod_train"]: r for r in rows})
+        payload["behavior_a8"] = [merged[k] for k in sorted(merged)]
+        with open(out, "w") as f:
+            json.dump(payload, f, indent=2)
+        print(f"wrote {out}")
+        return
 
     payload = {
         "description": "Opt-in relaxed sensing (make_track_pool sensor_lod): "
@@ -194,7 +258,11 @@ def main(argv=None):
     if not args.skip_train:
         payload["behavior"] = [behavior_leg(1, args.budget),
                                behavior_leg(4, args.budget)]
-    out = os.path.join(ROOT, "data", "relaxed_sensing.json")
+    if os.path.exists(out):  # preserve sections a full rerun doesn't touch
+        with open(out) as f:
+            old = json.load(f)
+        for k, v in old.items():
+            payload.setdefault(k, v)
     with open(out, "w") as f:
         json.dump(payload, f, indent=2)
     print(f"wrote {out}")
