@@ -6,9 +6,11 @@
 # data/learning_curve_parity_selfplay.json (gap of seed-means 0.9%,
 # gap/sigma 0.25). Re-running them is only needed to reproduce.
 #
-# SINGLE-AGENT legs (seeds 2/3): resumable driver checkpoints land in
-# data/ref_seed_runs/single_seed{2,3}_driver_checkpoint.pkl; restore + resume
-# below. After both finish:
+# SINGLE-AGENT legs (seeds 2/3): COMPLETE as of round 5 — all 152 updates,
+# curves merged into data/learning_curve_parity.json (reference 3-seed band:
+# converged-half means 2158/2137/2059, sigma 2.5%; gap of seed-means vs ours
+# 2.7%, gap/sigma 1.30). The preserved driver checkpoints are the FINAL
+# (update-152) states; re-running below is a no-op resume that just re-merges.
 #   python scripts/seed_variance.py --mode single --band-only
 set -e
 cd "$(dirname "$0")/.."
