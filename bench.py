@@ -223,10 +223,9 @@ def main(argv=None):
     # unseeded process got a different pool — and a different workload — every
     # run (max waypoints 384 vs 512 = +-17% raycast work, which masqueraded as
     # tunnel spread in rounds 1-2).
-    np.random.seed(1)
-    cps = trk.gen_tracks(num_tracks, seed=1)
-    widths = [float(np.random.RandomState(i).randint(6, 10)) for i in range(num_tracks)]
-    pool = trk.make_track_pool(cps, widths, dtype=jnp.float32)
+    from self_play_racing_tpu.utils.profiling import canonical_bench_pool
+
+    pool = canonical_bench_pool(num_tracks)
     # eager per-env geometry: the speed layout wherever it fits (282 vs 297
     # us/step rollout against the tiled pool-resident layout at 4096 envs with
     # the division-free raycast — its prefetch hides under the leaner kernel;

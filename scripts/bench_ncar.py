@@ -42,10 +42,9 @@ def main(argv=None):
     device = str(jax.devices()[0])
     print(f"device: {device}", file=sys.stderr)
     N, T = args.num_envs, args.num_steps
-    np.random.seed(1)  # pin the pool: gen_tracks reads the global stream (quirk #6)
-    cps = trk.gen_tracks(16, seed=1)
-    widths = [float(np.random.RandomState(i).randint(6, 10)) for i in range(16)]
-    pool = trk.make_track_pool(cps, widths, dtype=jnp.float32)
+    from self_play_racing_tpu.utils.profiling import canonical_bench_pool
+
+    pool = canonical_bench_pool()
     track = trk.gather_tracks(pool, np.arange(N) % 16)
 
     rows = []

@@ -15,11 +15,15 @@ fusion effects included. Seams (all late-bound module attributes):
   learner MLP+sample  models.actor_critic.sample_action
   obs assembly (all)  envs.multi.observe  (raycasts + features; features
                       reported as observe - raycast - cars residual)
-  GAE                 agent.ppo.compute_gae
   minibatch update    agent.ppo.run_ppo_update
 
-Timing: best-of-3 windows of 3 chained dispatches with ONE host sync
-(bench.py's instrument — the tunnel floor cancels in the marginals).
+(GAE deliberately has no ablation seam — see the note in main(); its exact
+cost comes from scripts/trace_attribution.py.)
+
+Timing: best of SIX windows of 3 chained dispatches with ONE host sync
+(bench.py's chained-dispatch instrument with twice the windows — ablation
+marginals difference two large numbers, so each side gets more chances at a
+clean-tunnel window; the floor cancels in the marginals).
 
     python scripts/profile_selfplay_phases.py [--envs 4096] [--steps 256]
 """
@@ -70,10 +74,9 @@ def measure(trainer):
 
 
 def build_trainer(num_envs, num_steps):
-    np.random.seed(1)  # canonical pinned pool (bench.py convention)
-    cps = trk.gen_tracks(16, seed=1)
-    widths = [float(np.random.RandomState(i).randint(6, 10)) for i in range(16)]
-    pool = trk.make_track_pool(cps, widths, dtype=jnp.float32)
+    from self_play_racing_tpu.utils.profiling import canonical_bench_pool
+
+    pool = canonical_bench_pool()
     track = trk.gather_tracks(pool, np.arange(num_envs) % 16)
     cfg = self_play_config(num_envs=num_envs, num_steps=num_steps,
                            total_timesteps=num_envs * num_steps * 100)

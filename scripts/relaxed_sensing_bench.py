@@ -44,11 +44,9 @@ NUM_ENVS, NUM_STEPS, NUM_TRACKS = 4096, 128, 16
 
 
 def canonical_pool(lod):
-    np.random.seed(1)
-    cps = trk.gen_tracks(NUM_TRACKS, seed=1)
-    widths = [float(np.random.RandomState(i).randint(6, 10))
-              for i in range(NUM_TRACKS)]
-    return trk.make_track_pool(cps, widths, dtype=jnp.float32, sensor_lod=lod)
+    from self_play_racing_tpu.utils.profiling import canonical_bench_pool
+
+    return canonical_bench_pool(NUM_TRACKS, sensor_lod=lod)
 
 
 def speed_row(lod, num_agents=8):
@@ -112,10 +110,13 @@ def lod_outward_bound(lod):
 
 
 def obs_error_stats(lod):
-    """Ray-error tails exact vs LOD, with and without the production range
-    clamp (clamp_sensor_range, paired with sensor_lod>1 by train_scale). The
-    unclamped tail documents the raw grazing-ray overshoot mechanism; the
-    clamped row is what trained policies actually see."""
+    """Ray-error tails exact vs LOD, with and without the opt-in range clamp
+    (clamp_sensor_range). Production relaxed training runs UNCLAMPED — the
+    unclamped row is what trained policies see; the clamped row is the
+    measurement that showed clamping makes LOD obs LESS faithful to exact-mode
+    obs (the reference's unclamped-hit quirk reads >range on ~7% of rays), so
+    train_scale deliberately does not pair the knob with sensor_lod
+    (docs/DESIGN.md 'Relaxed sensing error tail')."""
     exact = canonical_pool(1)
     relaxed = canonical_pool(lod)
     n = 512
@@ -184,18 +185,23 @@ def behavior_leg_a8(lod, budget=500_000_000, tmpdir="/tmp/relaxed_a8"):
     from self_play_racing_tpu.train import train_scale
     from self_play_racing_tpu.utils.metrics import build_eval_grid
 
-    tag = "relaxed" if lod > 1 else "exact"
+    # stable names for the two shipped legs; other LODs get their own files so
+    # they can never shadow (or silently reuse) a different LOD's model
+    tag = {1: "exact", 4: "relaxed"}.get(lod, f"relaxed_lod{lod}")
     os.makedirs(tmpdir, exist_ok=True)
     out = os.path.join(ROOT, "models", f"self_play_agent_8car_{tag}_500M.npz")
     info = os.path.join(ROOT, "data", f"training_info_8car_{tag}_500M.json")
-    if os.path.exists(out) and os.path.exists(info):
-        # model already trained (e.g. eval-only rerun): reuse it; keep any
-        # previously recorded wall time
-        prev = os.path.join(ROOT, "data", f"eval_info_8car_{tag}_500M.json")
-        wall = None
-        if os.path.exists(prev):
-            with open(prev) as f:
-                wall = json.load(f).get("wall_s")
+    prev = os.path.join(ROOT, "data", f"eval_info_8car_{tag}_500M.json")
+    prev_row = None
+    if os.path.exists(prev):
+        with open(prev) as f:
+            prev_row = json.load(f)
+    reusable = (os.path.exists(out) and os.path.exists(info) and prev_row
+                and prev_row.get("sensor_lod_train") == lod
+                and prev_row.get("steps") == budget)
+    if reusable:
+        # model already trained at THIS lod/budget (eval-only rerun): reuse it
+        wall = prev_row.get("wall_s")
         print(f"reusing trained model {out}", file=sys.stderr)
     else:
         t0 = time.perf_counter()

@@ -45,10 +45,9 @@ LEAF_CATEGORIES = {
 def build(leg, num_envs, num_steps):
     from self_play_racing_tpu.envs import track as trk
 
-    np.random.seed(1)  # canonical pinned pool (bench.py convention)
-    cps = trk.gen_tracks(16, seed=1)
-    widths = [float(np.random.RandomState(i).randint(6, 10)) for i in range(16)]
-    pool = trk.make_track_pool(cps, widths, dtype=jnp.float32)
+    from self_play_racing_tpu.utils.profiling import canonical_bench_pool
+
+    pool = canonical_bench_pool()
     if leg == "selfplay":
         from self_play_racing_tpu.agent.self_play import SelfPlayTrainer
         from self_play_racing_tpu.configs import self_play_config

@@ -73,8 +73,10 @@ def make_selfplay_hooks(env_cfg: menv.MultiRacingConfig,
         # attribution in docs/DESIGN.md); the [N, P] compare+select reduce is
         # VPU-shaped and fuses to ~0. Bit-identical sums of 1.0s.
         onehot = idx[:, None] == jnp.arange(pool_size, dtype=jnp.int32)[None, :]
-        wins = jnp.sum(jnp.where(onehot & won[:, None], 1.0, 0.0), axis=0)
-        games = jnp.sum(jnp.where(onehot & ended[:, None], 1.0, 0.0), axis=0)
+        # explicit f32 accumulator: the packed metric vector this tail rides is
+        # f32, and weak literals would promote it to f64 under x64 parity runs
+        wins = jnp.sum(onehot & won[:, None], axis=0, dtype=jnp.float32)
+        games = jnp.sum(onehot & ended[:, None], axis=0, dtype=jnp.float32)
         return jnp.concatenate([wins, games])
 
     return ppo.EnvHooks(reset=reset, transition=transition, observe=observe,

@@ -1,4 +1,4 @@
-"""Generalized Advantage Estimation as a parallel (associative) reverse scan.
+"""Generalized Advantage Estimation as a reverse-time scan.
 
 Reproduces /root/reference/agent/ppo.py:134-154 (CleanRL-style): reversed loop with
 bootstrap from ``next_value``/``next_done``, nonterminal masking, returns = adv + values.

@@ -49,3 +49,27 @@ class Throughput:
     @property
     def rate(self) -> float:
         return self._rate or 0.0
+
+
+def canonical_bench_pool(num_tracks=16, dtype=None, sensor_lod=1):
+    """The pinned canonical benchmark track pool (the bench.py convention):
+    ``gen_tracks(seed=1)`` + per-index ``RandomState(i)`` widths in [6, 10).
+
+    Every bench/profiling script draws its pool through this helper so the
+    "canonical pinned pool (W=512, S=896)" cross-references between artifacts
+    (BASELINE.md, data/*.json) are guaranteed to be the same geometry — a
+    drifted copy of the recipe would silently invalidate cross-script
+    comparisons.
+    """
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from ..envs import track as trk
+
+    np.random.seed(1)
+    cps = trk.gen_tracks(num_tracks=num_tracks, seed=1)
+    widths = [float(np.random.RandomState(i).randint(6, 10))
+              for i in range(num_tracks)]
+    return trk.make_track_pool(cps, widths, dtype=dtype or jnp.float32,
+                               sensor_lod=sensor_lod)
