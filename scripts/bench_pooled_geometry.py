@@ -58,11 +58,9 @@ def make_layout(pool, num_envs, layout):
 
 
 def measure(num_envs, num_steps, layout, n_windows=3, n_reps=3):
-    np.random.seed(1)  # pin the pool: gen_tracks reads the global stream (quirk #6)
-    cps = trk.gen_tracks(NUM_TRACKS, seed=1)
-    widths = [float(np.random.RandomState(i).randint(6, 10))
-              for i in range(NUM_TRACKS)]
-    pool = trk.make_track_pool(cps, widths, dtype=jnp.float32)
+    from self_play_racing_tpu.utils.profiling import canonical_bench_pool
+
+    pool = canonical_bench_pool(NUM_TRACKS)
     track = make_layout(pool, num_envs, layout)
     cfg = base_config(num_envs=num_envs, num_steps=num_steps,
                       total_timesteps=num_envs * num_steps * 100)

@@ -97,9 +97,9 @@ def pc_v2(x, y, cx, cy, wp_x, wp_y, nrm_x, nrm_y, n_wp, track_width):
 
 def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
-    cps = trk.gen_tracks(T, seed=1)
-    widths = [float(np.random.RandomState(i).randint(6, 10)) for i in range(T)]
-    pool = trk.make_track_pool(cps, widths, dtype=jnp.float32)
+    from self_play_racing_tpu.utils.profiling import canonical_bench_pool
+
+    pool = canonical_bench_pool(T)
     track = trk.gather_tracks(pool, np.arange(NUM_ENVS) % T)
 
     scfg = senv.RacingConfig(num_sensors=11)

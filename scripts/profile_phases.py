@@ -51,9 +51,9 @@ def timeit(name, fn, *args):
 
 def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
-    cps = trk.gen_tracks(16, seed=1)
-    widths = [float(np.random.RandomState(i).randint(6, 10)) for i in range(16)]
-    pool = trk.make_track_pool(cps, widths, dtype=jnp.float32)
+    from self_play_racing_tpu.utils.profiling import canonical_bench_pool
+
+    pool = canonical_bench_pool()
     track = trk.gather_tracks(pool, np.arange(NUM_ENVS) % 16)
 
     # ---- single-agent PPO ----

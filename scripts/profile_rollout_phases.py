@@ -86,11 +86,9 @@ def main(argv=None):
     num_tracks = 16
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
-    np.random.seed(1)  # canonical pinned pool (W=512, S=896) — bench.py convention
-    cps = trk.gen_tracks(num_tracks, seed=1)
-    widths = [float(np.random.RandomState(i).randint(6, 10))
-              for i in range(num_tracks)]
-    pool = trk.make_track_pool(cps, widths, dtype=jnp.float32)
+    from self_play_racing_tpu.utils.profiling import canonical_bench_pool
+
+    pool = canonical_bench_pool(num_tracks)
     if args.layout == "grouped":
         assert N % num_tracks == 0
         track = trk.grouped_pooled_tracks(pool, np.arange(num_tracks),

@@ -58,9 +58,9 @@ def tile_track(pool: trk.TrackArrays) -> trk.TrackArrays:
 
 def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
-    cps = trk.gen_tracks(T, seed=1)
-    widths = [float(np.random.RandomState(i).randint(6, 10)) for i in range(T)]
-    pool = trk.make_track_pool(cps, widths, dtype=jnp.float32)
+    from self_play_racing_tpu.utils.profiling import canonical_bench_pool
+
+    pool = canonical_bench_pool(T)
 
     # note: gather order arange(N) % T == tiled order (g*T + t -> track t)
     track_gathered = trk.gather_tracks(pool, np.arange(NUM_ENVS) % T)

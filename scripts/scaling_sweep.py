@@ -66,10 +66,9 @@ def run_envs():
 
     device = str(jax.devices()[0])
     print(f"device: {device}", file=sys.stderr)
-    np.random.seed(1)  # pin the pool: gen_tracks reads the global stream (quirk #6)
-    cps = trk.gen_tracks(16, seed=1)
-    widths = [float(np.random.RandomState(i).randint(6, 10)) for i in range(16)]
-    pool = trk.make_track_pool(cps, widths, dtype=jnp.float32)
+    from self_play_racing_tpu.utils.profiling import canonical_bench_pool
+
+    pool = canonical_bench_pool()
 
     results = []
     for num_envs in (1024, 4096, 16384, 65536):
