@@ -186,12 +186,14 @@ def behavior_leg_a8(lod, budget=500_000_000, tmpdir="/tmp/relaxed_a8"):
     from self_play_racing_tpu.utils.metrics import build_eval_grid
 
     # stable names for the two shipped legs; other LODs get their own files so
-    # they can never shadow (or silently reuse) a different LOD's model
+    # they can never shadow (or silently reuse) a different LOD's model, and
+    # non-default budgets get budget-suffixed files for the same reason
     tag = {1: "exact", 4: "relaxed"}.get(lod, f"relaxed_lod{lod}")
+    suffix = f"{budget // 1_000_000}M"
     os.makedirs(tmpdir, exist_ok=True)
-    out = os.path.join(ROOT, "models", f"self_play_agent_8car_{tag}_500M.npz")
-    info = os.path.join(ROOT, "data", f"training_info_8car_{tag}_500M.json")
-    prev = os.path.join(ROOT, "data", f"eval_info_8car_{tag}_500M.json")
+    out = os.path.join(ROOT, "models", f"self_play_agent_8car_{tag}_{suffix}.npz")
+    info = os.path.join(ROOT, "data", f"training_info_8car_{tag}_{suffix}.json")
+    prev = os.path.join(ROOT, "data", f"eval_info_8car_{tag}_{suffix}.json")
     prev_row = None
     if os.path.exists(prev):
         with open(prev) as f:
@@ -217,7 +219,7 @@ def behavior_leg_a8(lod, budget=500_000_000, tmpdir="/tmp/relaxed_a8"):
            "sensor_lod_train": lod, "eval_sensing": "exact",
            **res}
     with open(os.path.join(ROOT, "data",
-                           f"eval_info_8car_{tag}_500M.json"), "w") as f:
+                           f"eval_info_8car_{tag}_{suffix}.json"), "w") as f:
         json.dump(row, f, indent=2)
     print(json.dumps(row), file=sys.stderr)
     return row
@@ -226,9 +228,11 @@ def behavior_leg_a8(lod, budget=500_000_000, tmpdir="/tmp/relaxed_a8"):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--skip-train", action="store_true")
-    p.add_argument("--budget", type=int, default=50_000_000)
+    p.add_argument("--budget", type=int, default=None,
+                   help="env-step budget per behavior leg (default: 50M for "
+                        "the A=2 legs, 500M for --a8 legs)")
     p.add_argument("--a8", nargs="*", type=int, metavar="LOD",
-                   help="run ONLY the A=8 500M behavior legs at these LODs "
+                   help="run ONLY the A=8 behavior legs at these LODs "
                         "(e.g. --a8 1 4) and merge behavior_a8 into the "
                         "artifact")
     args = p.parse_args(argv)
@@ -237,7 +241,8 @@ def main(argv=None):
     out = os.path.join(ROOT, "data", "relaxed_sensing.json")
     if args.a8 is not None:
         lods = args.a8 or [1, 4]
-        rows = [behavior_leg_a8(lod) for lod in lods]
+        a8_budget = args.budget if args.budget is not None else 500_000_000
+        rows = [behavior_leg_a8(lod, budget=a8_budget) for lod in lods]
         payload = {}
         if os.path.exists(out):
             with open(out) as f:
@@ -262,8 +267,9 @@ def main(argv=None):
         "obs_error": [obs_error_stats(lod) for lod in (2, 4)],
     }
     if not args.skip_train:
-        payload["behavior"] = [behavior_leg(1, args.budget),
-                               behavior_leg(4, args.budget)]
+        a2_budget = args.budget if args.budget is not None else 50_000_000
+        payload["behavior"] = [behavior_leg(1, a2_budget),
+                               behavior_leg(4, a2_budget)]
     if os.path.exists(out):  # preserve sections a full rerun doesn't touch
         with open(out) as f:
             old = json.load(f)

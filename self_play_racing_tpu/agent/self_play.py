@@ -285,6 +285,9 @@ class SelfPlayTrainer(PPOTrainer):
         print(f"Saved full checkpoint to {path}")
 
     def load_checkpoint(self, path: str):
+        # format_version opens the npz a second time, but np.load is lazy — it
+        # reads one scalar entry, not the archive — so probing before the real
+        # load costs a zip-directory read, nothing more.
         if ckpt.format_version(path) == 0:
             # round-≤4 index-addressed checkpoint: its TrainState carried a dead
             # device global_step as its final leaf — load through the historic

@@ -90,8 +90,11 @@ class PPOTrainer:
         """Distribute the trainer over a device mesh: env-batch leaves over 'data',
         params replicated (or tensor-sharded over 'model' on a 2-D mesh). Pair with
         ``cfg.data_shards = mesh data-axis size`` so the minibatch shuffle stays
-        shard-local (see ppo.run_ppo_update); sharding is legal either way, the
-        config only controls the communication pattern."""
+        shard-local (see ppo.run_ppo_update); ``data_shards=1`` (the
+        reference-parity global shuffle) is also legal and merely pays the
+        cross-shard gathers, but any other mismatched value raises — the
+        shard-local layout is only collective-free when the shard count equals
+        the data-parallel degree."""
         from ..parallel import mesh as pmesh
 
         n_data = mesh.shape[mesh.axis_names[0]]

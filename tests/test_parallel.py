@@ -160,6 +160,10 @@ def test_sharded_scale_mode_pfsp_matches_unsharded():
             total_timesteps=16 * 32 * 4, snapshot_freq=1, pool_size=3,
             opponent_per_env=True, opponent_sampling="pfsp",
             normalize_obs=True, reset_envs_each_update=False)
+        # pin the ambient global stream: gen_tracks draws track-0's parameters
+        # from it BEFORE its internal reseed (quirk #6), so without this the two
+        # build() calls would see different pools (order-dependent test)
+        np.random.seed(7)
         cps = trk.gen_tracks(4, seed=1)
         pool = trk.make_track_pool(cps, [8.0] * 4)
         track = trk.gather_tracks(pool, np.arange(16) % 4)
