@@ -186,7 +186,22 @@ def main(argv=None):
     num_envs = 4096
     num_tracks = 16
     scan_steps = 256
-    reps = 10
+    # Rollout reps per timed window: the single end-of-window sync costs the
+    # measured tunnel floor (~23 ms), so per-rep overhead is floor/reps — at
+    # 10 reps that was still 3% of a 76 ms rollout, visibly inflating per-step
+    # cost vs the slope-timed instruments (scripts/profile_rollout_phases.py
+    # cancels the floor exactly and reads 284 us/step where 10-rep windows
+    # read 297). 50 reps push the floor below 1%; legitimate here because the
+    # rollout reps are a fixed workload (params never update), so longer
+    # windows change nothing but the amortization. The TRAINING legs stay at
+    # n_reps=5: their per-update cost genuinely drifts with the update index
+    # (LR anneal shrinks KL, the early exit stops firing, minibatches_applied
+    # rises — 25-rep windows measured 86/95/98 ms as the run left the fresh
+    # regime), so longer windows would change the operating point being
+    # measured, not just the overhead; 5 reps keeps the fresh-training regime
+    # every previous round reported.
+    reps = 50
+    train_reps = 5
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
@@ -352,7 +367,8 @@ def main(argv=None):
     def train_once():
         trainer.runner, last_m[0] = trainer.update_step(trainer.runner, trainer.aux)
 
-    tdt, tdts = best_window(train_once, lambda: unpack_metrics(last_m[0]))
+    tdt, tdts = best_window(train_once, lambda: unpack_metrics(last_m[0]),
+                            n_reps=train_reps)
     print(f"PPO training: {tdt*1e3:.0f} ms/update = "
           f"{cfg.batch_size/tdt/1e6:.2f} M env-steps/s = {1/tdt:.2f} updates/s "
           f"(windows ms: {', '.join(f'{d*1e3:.0f}' for d in tdts)})",
@@ -381,7 +397,8 @@ def main(argv=None):
     def sp_once():
         sp.runner, last_sp[0] = sp.update_step(sp.runner, sp.aux)
 
-    sdt, sdts = best_window(sp_once, lambda: unpack_metrics(last_sp[0]))
+    sdt, sdts = best_window(sp_once, lambda: unpack_metrics(last_sp[0]),
+                            n_reps=train_reps)
     print(f"Self-play training: {sdt*1e3:.0f} ms/update = "
           f"{sp_cfg.batch_size/sdt/1e6:.2f} M env-steps/s = {1/sdt:.2f} updates/s "
           f"(windows ms: {', '.join(f'{d*1e3:.0f}' for d in sdts)})",
