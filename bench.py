@@ -16,7 +16,7 @@ roofline (data/vpu_roofline_calibration.json — refresh with ``--recalibrate``;
 each run re-measures and reports drift); ``mfu_vpu`` scores only the non-MLP
 (VPU) flops against the same denominator; ``xla_cost_ratio`` cross-checks the
 analytic count against XLA's cost model on a scan-free single-step build
-(expected ~0.46 — the executed-ops-per-semantic-flop mix). See BASELINE.md
+(expected ~0.47 — the executed-ops-per-semantic-flop mix). See BASELINE.md
 "MFU methodology".
 """
 from __future__ import annotations

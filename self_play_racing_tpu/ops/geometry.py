@@ -77,8 +77,14 @@ def raycast_walls(ox, oy, dx, dy, seg_sx, seg_sy, seg_vx, seg_vy, max_dist,
     hit = ((d > _PARALLEL_EPS) & (cn * dotp >= 0.0) & (sn * dotp >= 0.0)
            & (jnp.abs(sn) <= d))
     akey = jnp.where(hit, jnp.abs(cn), jnp.inf)
-    # 1, not 0: inf*0 = NaN would poison the reduce
-    dkey = jnp.where(hit, d, 1.0)
+    # d unmasked: a miss pair carries (inf, d). The comparator stays correct —
+    # a hit always beats (inf, d) since finite*d' < inf*d_hit, and miss-vs-miss
+    # comparisons resolve to inf<inf or NaN<NaN (padding rows have d exactly 0,
+    # making inf*0 = NaN), both false, which keeps the first operand — so the
+    # all-miss ray reduces to an inf ratio exactly as before (inf/d and inf/0
+    # are both inf for the no-hit -> max_dist select below). Masking d to 1.0
+    # here cost one extra select per ray-segment pair for nothing.
+    dkey = d
     init = (jnp.asarray(jnp.inf, akey.dtype), jnp.asarray(1.0, dkey.dtype))
     amin, dmin = jax.lax.reduce((akey, dkey), init, _ratio_min_reducer,
                                 (akey.ndim - 1,))
