@@ -94,6 +94,33 @@ def test_ray_vs_cars_matches_reference_scalar_helper():
             assert abs(float(got) - expected) < 1e-9
 
 
+def test_raycast_all_miss_and_padding_rows_return_max_dist_exactly():
+    """Round-5 regression for the unmasked reduce payload: miss pairs now carry
+    (inf, d) — with d exactly 0.0 on zero-direction padding segments, whose
+    inf*0 = NaN comparator products must compare false and keep losing. An
+    all-miss ray (every segment behind the origin, plus padding rows) must
+    still return exactly max_dist, not NaN or inf."""
+    # segments strictly in x < -1, rays pointing +x from the origin: no hits
+    starts = np.array([[-5.0, -2.0], [-3.0, 1.0], [-8.0, 4.0]])
+    vecs = np.array([[0.0, 3.0], [1.5, 0.5], [2.0, -1.0]])
+    # pad with zero-direction rows (the TrackArrays padding convention)
+    pad = np.zeros((4, 2))
+    sx = jnp.asarray(np.concatenate([starts[:, 0], pad[:, 0]]))
+    sy = jnp.asarray(np.concatenate([starts[:, 1], pad[:, 1]]))
+    vx = jnp.asarray(np.concatenate([vecs[:, 0], pad[:, 0]]))
+    vy = jnp.asarray(np.concatenate([vecs[:, 1], pad[:, 1]]))
+    for oy in (0.0, 2.5, -4.0):
+        got = geo.raycast_walls(jnp.float32(1.0), jnp.float32(oy),
+                                jnp.float32(1.0), jnp.float32(0.0),
+                                sx, sy, vx, vy, 50.0)
+        assert float(got) == 50.0
+    # and a hit among padding rows still wins over every miss representation
+    got = geo.raycast_walls(jnp.float32(-4.0), jnp.float32(0.0),
+                            jnp.float32(-1.0), jnp.float32(0.0),
+                            sx, sy, vx, vy, 50.0)
+    assert abs(float(got) - 1.0) < 1e-6  # segment x=-5 spans y in [-2, 1]
+
+
 # (raycast_walls_fan — the shared-origin restructure — was retired to
 # docs/DESIGN.md's rejected-kernels log in round 5: measured slower than the
 # broadcast form, same category as the retired Pallas kernel.)
