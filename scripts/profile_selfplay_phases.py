@@ -176,8 +176,10 @@ def main(argv=None):
             for mod, attr, orig in saved:
                 setattr(mod, attr, orig)
         marg = results["full"] - results[f"ablate_{name}"]
+        # provisional: the saved artifact recomputes marginals against
+        # min(full, full_end) once the end-of-run drift guard has measured
         print(f"{name:24s} ablated {results[f'ablate_{name}']:8.1f} ms "
-              f"-> marginal {marg:8.1f} ms", file=sys.stderr)
+              f"-> marginal {marg:8.1f} ms (provisional)", file=sys.stderr)
 
     # GAE has NO row here by design: stubbing compute_gae reproducibly makes
     # the whole update ~20 ms SLOWER (the near-constant advantages change the

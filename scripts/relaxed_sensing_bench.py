@@ -79,14 +79,12 @@ def speed_row(lod, num_agents=8):
     return row
 
 
-def lod_outward_bound(lod):
+def lod_outward_bound(exact, relaxed):
     """Max outward distance d_out from the true boundary to the LOD polyline,
     per pool: the geometric driver of the grazing-ray overshoot (a ray crossing
     the true wall at incidence angle theta travels ~d_out/sin(theta) further
     before crossing the LOD polyline — docs/DESIGN.md 'Relaxed sensing error
     tail'). Sampled densely along every LOD segment against the true segments."""
-    exact = canonical_pool(1)
-    relaxed = canonical_pool(lod)
     d_out = 0.0
     for t in range(NUM_TRACKS):
         es = np.stack([np.asarray(exact.seg_sx[t]), np.asarray(exact.seg_sy[t])], -1)
@@ -148,7 +146,7 @@ def obs_error_stats(lod):
                         "p99": float(np.percentile(ec, 99)),
                         "frac_over_2_units": float((ec > 2).mean()),
                         "max": float(ec.max())},
-            "d_out_units": lod_outward_bound(lod)}
+            "d_out_units": lod_outward_bound(exact, relaxed)}
 
 
 def behavior_leg(lod, budget=50_000_000, tmpdir="/tmp/relaxed_sensing"):

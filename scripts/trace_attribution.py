@@ -96,7 +96,11 @@ def main(argv=None):
             tr.runner, mm = tr.update_step(tr.runner, tr.aux)
         unpack_metrics(mm)
 
-    (trace_file,) = glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True)
+    trace_files = sorted(glob.glob(trace_dir + "/**/*.trace.json.gz",
+                                   recursive=True), key=os.path.getmtime)
+    if not trace_files:
+        sys.exit(f"no trace file written under {trace_dir}")
+    trace_file = trace_files[-1]  # newest wins if a run dumps one per process
     with gzip.open(trace_file) as f:
         trace = json.load(f)
     ev = trace["traceEvents"]
